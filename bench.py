@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
+
+Headline metric (BASELINE.json north star): Mrays/sec/chip at 1080p on a
+Sponza-class scene (config 5), vs_baseline = value / 200. Secondary configs
+(cube primary / cube path-traced) are printed to stderr for tracking.
+
+Ray counting uses the reference's cost model (1 primary + 2 per bounce
+iteration entered, SURVEY.md §3.4) measured exactly by the engine's
+instrumented trace loop — not a theoretical upper bound.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import raytpu
+from raytpu.engine.render import count_rays, render_frame, render_tile
+from raytpu.scene.pack import pack_camera, pack_scene
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _cached_atrium(target_tris: int):
+    """Pack the procedural Sponza-class scene, caching the (slow, host-side)
+    BVH build between runs."""
+    import pickle
+
+    os.makedirs(CACHE, exist_ok=True)
+    key = os.path.join(CACHE, f"atrium_{target_tris}.pkl")
+    from benchmarks.scenes import build_atrium
+
+    scene = build_atrium(target_tris)
+    if os.path.exists(key):
+        with open(key, "rb") as f:
+            host_pack = pickle.load(f)
+    else:
+        t0 = time.time()
+        host_pack = _host_pack_arrays(scene)
+        log(f"[bench] atrium BVH build: {time.time() - t0:.1f}s")
+        with open(key, "wb") as f:
+            pickle.dump(host_pack, f)
+    return scene, _device_pack(host_pack)
+
+
+def _host_pack_arrays(scene):
+    import jax
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        pack = pack_scene(scene)
+    return jax.tree_util.tree_map(np.asarray, pack)
+
+
+def _device_pack(host_pack):
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(np.asarray(x)), host_pack
+    )
+
+
+def bench_config(name, pack, cam, cfg, repeats=3):
+    """Render repeatedly, return (Mrays/s, ms/frame)."""
+    # compile + warm up
+    frame = render_frame(pack, cam, cfg)
+    rays = count_rays(pack, cam, cfg)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        render_frame(pack, cam, cfg)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    mrays = rays / dt / 1e6
+    log(f"[bench] {name}: {rays/1e6:.2f} Mrays in {dt*1000:.1f} ms "
+        f"-> {mrays:.1f} Mrays/s (mean px {np.asarray(frame).mean():.4f})")
+    return mrays, dt * 1000.0
+
+
+def main():
+    quick = "--quick" in sys.argv
+
+    cube = raytpu.load_scene("/root/reference/cube.glb")
+    cube_cam = raytpu.load_camera_json("/root/reference/camera.json", 512, 512)
+    cube_pack = pack_scene(cube)
+    cube_campk = pack_camera(cube_cam)
+
+    # config 1: primary rays, flat shading, 512x512
+    cfg1 = raytpu.RenderConfig(width=512, height=512, seed=1, samples=1,
+                               bounces=1, chunk_size=64, mode="flat")
+    # config 2: diffuse path tracing, 4 bounces
+    cfg2 = raytpu.RenderConfig(width=512, height=512, seed=1, samples=4,
+                               bounces=4, chunk_size=64)
+    bench_config("cube flat 512x512x1", cube_pack, cube_campk, cfg1)
+    bench_config("cube path 512x512x4spp", cube_pack, cube_campk, cfg2)
+
+    # config 5 (headline): Sponza-class 1080p wavefront path tracing
+    tris = 20_000 if quick else 250_000
+    scene, pack = _cached_atrium(tris)
+    campk = pack_camera(scene.camera)
+    w, h = (640, 360) if quick else (1920, 1080)
+    cfg5 = raytpu.RenderConfig(width=w, height=h, seed=1, samples=1,
+                               bounces=4, chunk_size=8)
+    mrays, ms = bench_config(f"atrium({tris}) {w}x{h}", pack, campk, cfg5,
+                             repeats=2)
+
+    print(json.dumps({
+        "metric": "Mrays/sec/chip, Sponza-class atrium 1080p, 4 bounces",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 200.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

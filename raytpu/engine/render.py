@@ -1,0 +1,433 @@
+"""The renderer: ray generation, bounce loop, sample accumulation, tiling.
+
+This is the TPU-native replacement for the reference's WGSL megakernel
+(src/shader.wgsl:299-419) plus its host chunk loop (src/state.rs:336-379):
+
+* one SIMD *wavefront* of rays per framebuffer tile instead of one GPU thread
+  per pixel — every per-bounce step is a dense vectorised op over the whole
+  tile, with boolean masks standing in for the megakernel's divergent
+  branches;
+* the data-dependent material/RNG control flow is replayed exactly (masked
+  RNG advances, see kernels/rng.py), so images match the reference at
+  matched seed rather than merely statistically;
+* the bounce loop is a static Python unroll (``bounces`` is a compile-time
+  constant); intersection is a scanned brute-force sweep or a
+  ``lax.while_loop`` BVH traversal (kernels/intersect.py);
+* samples are accumulated serially per pixel (``lax.fori_loop``) because the
+  reference's RNG state carries across samples (src/shader.wgsl:412-414).
+
+Reference quirks reproduced on purpose (SURVEY.md §7 — parity is measured
+against the reference's images, quirks included):
+
+* hit point ``p = (object_to_world * vec4(pos, 0.0)).xyz + n*eps`` — w = 0
+  drops the instance translation (src/shader.wgsl:345);
+* the diffuse BRDF samples a cosine hemisphere around the *global* z axis,
+  sign-flipped by the incoming direction, and its pdf uses the incoming
+  direction's z (src/shader.wgsl:212-226);
+* ``metal_brdf`` ignores roughness (src/shader.wgsl:228-239);
+* ``glass_brdf`` is the reference's idiosyncratic refraction formula with
+  its scalar-minus-vector broadcast (src/shader.wgsl:241-257);
+* next-event light contributions are added to radiance *unattenuated*; the
+  final attenuation multiplies everything once at path exit
+  (src/shader.wgsl:370-380);
+* pixels outside the chunk grid (width/height not divisible by chunk_size)
+  are never rendered and stay black (src/state.rs:330-334 +
+  src/shader.wgsl:400-408).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kernels import rng as rngk
+from ..kernels.intersect import F32_MAX, make_intersectors
+from ..kernels.texture import sample_bilinear
+from ..types import CameraPack, RenderConfig, ScenePack
+
+PI = jnp.float32(3.1415926)  # src/shader.wgsl:3
+INV_PI = jnp.float32(0.3183098)  # src/shader.wgsl:4
+F32_EPSILON = jnp.float32(1.1920929e-7)  # src/shader.wgsl:2
+
+
+def _dot3(a, b):
+    """Explicitly-associated 3-component dot: (ax*bx + ay*by) + az*bz.
+    Used everywhere instead of .sum(axis=-1) so CPU and TPU backends round
+    identically (shadow rays sit one ulp off surfaces — see cast_rays)."""
+    return a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1] + a[..., 2] * b[..., 2]
+
+
+def _norm3(v):
+    return jnp.sqrt(_dot3(v, v))
+
+
+def _normalize(v):
+    return v / _norm3(v)[..., None]
+
+
+def cast_rays(px_f, py_f, world, projection, width: int, height: int):
+    """Pinhole ray generation, exactly src/shader.wgsl:299-310.
+
+    clip = pixel/(w,h)*2-1 (y then negated); unproject via the inverse
+    perspective at z=0; the *vec4* is normalised before truncation to xyz;
+    rotate into world with w=0; origin = world @ (0,0,0,1)."""
+    clip_x = px_f / jnp.float32(width) * 2.0 - 1.0
+    clip_y = py_f / jnp.float32(height) * 2.0 - 1.0
+    # explicit mat-vec expansion: identical f32 association on every backend
+    # (these feed shadow rays that sit one ulp off surfaces, so rounding
+    # differences are visible as shadow-terminator flips)
+    ndc_y = -clip_y
+    cam = [
+        projection[i, 0] * clip_x + projection[i, 1] * ndc_y + projection[i, 3]
+        for i in range(4)
+    ]
+    inv_len4 = 1.0 / jnp.sqrt(
+        cam[0] * cam[0] + cam[1] * cam[1] + cam[2] * cam[2] + cam[3] * cam[3]
+    )
+    cx, cy, cz = cam[0] * inv_len4, cam[1] * inv_len4, cam[2] * inv_len4
+    d = jnp.stack(
+        [
+            world[i, 0] * cx + world[i, 1] * cy + world[i, 2] * cz
+            for i in range(3)
+        ],
+        axis=-1,
+    )
+    d = _normalize(d)
+    o = jnp.broadcast_to(world[:3, 3], d.shape)
+    return o, d
+
+
+def _trace_paths(
+    pack: ScenePack, closest, any_hit, ro, rd, rng, bounces: int,
+    count_mask=None,
+):
+    """One full path per lane: the reference's ``pixel_color``
+    (src/shader.wgsl:321-381), vectorised with masks. Returns
+    (radiance * attenuation [R,4], rng); with ``count_mask`` also returns the
+    number of ray queries issued by masked lanes (1 primary + 2 per bounce
+    iteration entered — the reference's cost model, SURVEY.md §3.4)."""
+    r = ro.shape[0]
+    n_rays = (
+        jnp.sum(count_mask.astype(jnp.int64)) if count_mask is not None
+        else None
+    )
+    # derive from the rays so loop carries keep shard_map varying-axis
+    # types (ro alone is a broadcast pinhole origin — unvarying)
+    zero_col = ((ro[:, :1] + rd[:, :1]) * 0.0).astype(jnp.float32)
+    radiance = jnp.tile(zero_col, (1, 4))
+    attenuation = radiance + jnp.array([1.0, 1.0, 1.0, 0.0], jnp.float32)
+    alive = zero_col[:, 0] == 0.0
+    n_lights_f = pack.n_lights_f
+
+    for _ in range(bounces):
+        hit = closest(ro, rd, jnp.float32(0.001), F32_MAX)
+        active = alive & hit.valid
+
+        # --- hit decode (src/shader.wgsl:259-293, pre-resolved per tri) ---
+        tri = jnp.maximum(hit.tri, 0)
+        vi = pack.tri_vi[tri]  # [R,3]
+        w0 = (1.0 - hit.u - hit.v)[:, None]
+        wu = hit.u[:, None]
+        wv = hit.v[:, None]
+        n0 = pack.vertex_normal[vi[:, 0]]
+        n1 = pack.vertex_normal[vi[:, 1]]
+        n2 = pack.vertex_normal[vi[:, 2]]
+        normal = n0 * w0 + n1 * wu + n2 * wv
+        p0 = pack.vertex_pos[vi[:, 0]]
+        p1 = pack.vertex_pos[vi[:, 1]]
+        p2 = pack.vertex_pos[vi[:, 2]]
+        pos = p0 * w0 + p1 * wu + p2 * wv  # object space
+        t0 = pack.vertex_uv[vi[:, 0]]
+        t1 = pack.vertex_uv[vi[:, 1]]
+        t2 = pack.vertex_uv[vi[:, 2]]
+        uv = t0 * w0 + t1 * wu + t2 * wv
+
+        mat_id = pack.tri_material[tri]
+        obj_id = pack.tri_object[tri]
+
+        # face-forward normal (src/shader.wgsl:339-343)
+        front = _dot3(rd, normal) < 0.0
+        normal = jnp.where(front[:, None], normal, -normal)
+
+        # hit point with the w=0 translation-dropping quirk (:345);
+        # explicit mat-vec keeps f32 association identical across backends
+        linear = pack.object_linear[obj_id]  # [R,3,3]
+        p = (
+            jnp.stack(
+                [
+                    linear[:, i, 0] * pos[:, 0]
+                    + linear[:, i, 1] * pos[:, 1]
+                    + linear[:, i, 2] * pos[:, 2]
+                    for i in range(3)
+                ],
+                axis=-1,
+            )
+            + normal * F32_EPSILON
+        )
+
+        # base colour: bilinear texture or factor (:349-353)
+        m_color = pack.mat_color[mat_id]
+        has_tex = pack.mat_has_texture[mat_id] == 1
+        tex_rgba = sample_bilinear(
+            pack.tex_atlas, pack.tex_size, pack.mat_texture[mat_id], uv
+        )
+        in_color = jnp.where(has_tex[:, None], tex_rgba, m_color)
+
+        emission = pack.mat_emission[mat_id]
+        metallic = pack.mat_metallic[mat_id]
+        ior = pack.mat_ior[mat_id]
+
+        # --- material dispatch (:355-368) ---
+        is_emissive = active & (emission > 0.0)
+        is_metal = active & ~is_emissive & (metallic > 0.0)
+        is_mixed = active & ~is_emissive & ~(metallic > 0.0)
+
+        radiance = radiance + jnp.where(
+            is_emissive[:, None], m_color * emission[:, None], 0.0
+        )
+
+        # metal: perfect mirror, roughness unused (:228-239)
+        d_dot_n = _dot3(rd, normal)[:, None]
+        scat_metal = rd - 2.0 * d_dot_n * normal
+        att_metal = in_color  # out_color / pdf with pdf = 1
+
+        # 50/50 diffuse-glass mix (:362-367); one rand for the choice
+        rng, r_mix = rngk.rand_masked(rng, is_mixed)
+        is_diffuse = is_mixed & (r_mix > 0.5)
+        is_glass = is_mixed & ~(r_mix > 0.5)
+
+        # diffuse: cosine hemisphere in the quirky global-z frame (:212-226)
+        rng, u1 = rngk.rand_masked(rng, is_diffuse)
+        rng, u2 = rngk.rand_masked(rng, is_diffuse)
+        r_disk = jnp.sqrt(u1)
+        theta = 2.0 * PI * u2
+        dx = r_disk * jnp.cos(theta)
+        dy = r_disk * jnp.sin(theta)
+        dz = jnp.sqrt(1.0 - dx * dx - dy * dy)
+        dz = jnp.where(rd[:, 2] < 0.0, -dz, dz)
+        scat_diffuse = jnp.stack([dx, dy, dz], axis=-1)
+        pdf_diffuse = jnp.abs(rd[:, 2]) * INV_PI
+        att_diffuse = (in_color / PI) / pdf_diffuse[:, None]
+
+        # glass: the reference's refraction formula verbatim (:241-257),
+        # including `-(1.0 - |out_perp| * normal)` broadcasting 1.0 - vec3
+        uv_dir = _normalize(rd)
+        cos_theta = jnp.minimum(-_dot3(uv_dir, normal), 1.0)
+        out_perp = ior[:, None] * (uv_dir + cos_theta[:, None] * normal)
+        perp_len = jnp.sqrt(jnp.abs(_dot3(out_perp, out_perp)))
+        out_parallel = -(1.0 - perp_len[:, None] * normal)
+        scat_glass = out_perp + out_parallel
+        att_glass = in_color
+
+        half = jnp.float32(0.5)
+        att_mult = jnp.where(
+            is_metal[:, None],
+            att_metal,
+            jnp.where(
+                is_diffuse[:, None],
+                att_diffuse * half,
+                att_glass * half,
+            ),
+        )
+        scattered = jnp.where(
+            is_metal[:, None],
+            scat_metal,
+            jnp.where(is_diffuse[:, None], scat_diffuse, scat_glass),
+        )
+        bounce_on = is_metal | is_mixed
+        attenuation = jnp.where(
+            bounce_on[:, None], attenuation * att_mult, attenuation
+        )
+
+        # --- next-event estimation (:370-374) ---
+        rng, r_light = rngk.rand_masked(rng, bounce_on)
+        li = jnp.clip(
+            (r_light * n_lights_f).astype(jnp.int32), 0, pack.n_lights - 1
+        )
+        lpos = pack.light_pos[li]
+        to_light = lpos - p
+        dist = _norm3(to_light)
+        ldir = to_light / dist[:, None]
+        blocked = any_hit(p, ldir, jnp.float32(0.0), dist)
+        # radiance += (color / sqrt(dist)) / (1/N) — unattenuated (:372-374)
+        contrib = (
+            pack.light_color[li] / jnp.sqrt(dist)[:, None]
+        ) / (1.0 / n_lights_f)
+        radiance = radiance + jnp.where(
+            (bounce_on & ~blocked)[:, None], contrib, 0.0
+        )
+
+        # continue the path (:376-377)
+        ro = jnp.where(bounce_on[:, None], p, ro)
+        rd = jnp.where(bounce_on[:, None], scattered, rd)
+        alive = bounce_on
+        if n_rays is not None:
+            counted = bounce_on & count_mask
+            n_rays = n_rays + 2 * jnp.sum(counted.astype(jnp.int64))
+
+    if n_rays is not None:
+        return radiance * attenuation, rng, n_rays
+    return radiance * attenuation, rng
+
+
+def count_rays(
+    pack: ScenePack, camera: CameraPack, config: RenderConfig
+) -> int:
+    """Count the ray queries the reference would issue for this frame: one
+    primary query per sample plus, per bounce iteration entered, one shadow
+    query and one continuation query (cost model of src/shader.wgsl:321-381,
+    SURVEY.md §3.4). Exact: runs the real trace loop with a counter.
+    Used by the benchmark harness to report honest Mrays/s."""
+    tile_h = _auto_tile_rows(config, pack.n_triangles)
+    total = 0
+    for y0 in range(0, config.height, tile_h):
+        rows = min(tile_h, config.height - y0)
+        n = _count_tile(pack, camera, jnp.int32(y0), config, tile_h, rows)
+        total += int(n)
+    return total
+
+
+@partial(jax.jit, static_argnames=("config", "tile_h", "valid_rows"))
+def _count_tile(pack, camera, y0, config, tile_h, valid_rows):
+    w, h = config.width, config.height
+    closest, any_hit = make_intersectors(
+        pack, bruteforce_max_tris=config.bruteforce_max_tris
+    )
+    px = jnp.tile(jnp.arange(w, dtype=jnp.int32), tile_h)
+    py = (y0 + jnp.arange(tile_h, dtype=jnp.int32)).repeat(w)
+    rng0 = rngk.seed_pixels(px, py, w, config.chunk_size, config.seed)
+    cs = config.chunk_size
+    in_grid = (
+        (px // cs < w // cs) & (py // cs < h // cs)
+        & (py < y0 + valid_rows)
+    )
+    pxf, pyf = px.astype(jnp.float32), py.astype(jnp.float32)
+
+    def body(_, carry):
+        rng, total = carry
+        rng, jx = rngk.rand(rng)
+        rng, jy = rngk.rand(rng)
+        ro, rd = cast_rays(pxf + jx, pyf + jy, camera.world,
+                           camera.projection, w, h)
+        _, rng, n = _trace_paths(
+            pack, closest, any_hit, ro, rd, rng, config.bounces,
+            count_mask=in_grid,
+        )
+        return rng, total + n
+
+    _, total = jax.lax.fori_loop(
+        0, config.samples, body, (rng0, jnp.int64(0))
+    )
+    return total
+
+
+def _flat_shade(pack: ScenePack, closest, ro, rd):
+    """raytpu extension: primary-hit base colour (BASELINE config 1).
+    Not a reference mode; used for intersection benchmarks and debugging."""
+    hit = closest(ro, rd, jnp.float32(0.001), F32_MAX)
+    tri = jnp.maximum(hit.tri, 0)
+    vi = pack.tri_vi[tri]
+    w0 = (1.0 - hit.u - hit.v)[:, None]
+    uv = (
+        pack.vertex_uv[vi[:, 0]] * w0
+        + pack.vertex_uv[vi[:, 1]] * hit.u[:, None]
+        + pack.vertex_uv[vi[:, 2]] * hit.v[:, None]
+    )
+    mat_id = pack.tri_material[tri]
+    has_tex = pack.mat_has_texture[mat_id] == 1
+    tex = sample_bilinear(
+        pack.tex_atlas, pack.tex_size, pack.mat_texture[mat_id], uv
+    )
+    color = jnp.where(has_tex[:, None], tex, pack.mat_color[mat_id])
+    return jnp.where(hit.valid[:, None], color, 0.0)
+
+
+@partial(jax.jit, static_argnames=("config", "tile_h"))
+def render_tile(
+    pack: ScenePack,
+    camera: CameraPack,
+    y0: jnp.ndarray,
+    config: RenderConfig,
+    tile_h: int,
+) -> jnp.ndarray:
+    """Render rows [y0, y0 + tile_h) of the frame; returns [tile_h, W, 4].
+
+    One compiled program serves every tile (y0 is a traced scalar), mirroring
+    how the reference re-dispatches one compute pipeline per chunk with only
+    a uniform update (src/state.rs:336-379)."""
+    w, h = config.width, config.height
+    closest, any_hit = make_intersectors(
+        pack, bruteforce_max_tris=config.bruteforce_max_tris
+    )
+    px = jnp.tile(jnp.arange(w, dtype=jnp.int32), tile_h)
+    py = (y0 + jnp.arange(tile_h, dtype=jnp.int32)).repeat(w)
+    rng0 = rngk.seed_pixels(px, py, w, config.chunk_size, config.seed)
+
+    # pixels outside the chunk grid are never dispatched by the reference
+    cs = config.chunk_size
+    in_grid = (px // cs < w // cs) & (py // cs < h // cs)
+
+    pxf = px.astype(jnp.float32)
+    pyf = py.astype(jnp.float32)
+
+    def sample_body(_, carry):
+        rng, acc = carry
+        # per-pixel jitter: + vec2(rand(), rand()) (src/shader.wgsl:413)
+        rng, jx = rngk.rand(rng)
+        rng, jy = rngk.rand(rng)
+        ro, rd = cast_rays(
+            pxf + jx, pyf + jy, camera.world, camera.projection, w, h
+        )
+        if config.mode == "flat":
+            color = _flat_shade(pack, closest, ro, rd)
+        else:
+            color, rng = _trace_paths(
+                pack, closest, any_hit, ro, rd, rng, config.bounces
+            )
+        return rng, acc + color
+
+    acc0 = jnp.tile((rng0[:, None] * 0).astype(jnp.float32), (1, 4))
+    _, acc = jax.lax.fori_loop(0, config.samples, sample_body, (rng0, acc0))
+    img = acc / jnp.float32(config.samples)
+    img = jnp.where(in_grid[:, None], img, 0.0)
+    return img.reshape(tile_h, w, 4)
+
+
+def _auto_tile_rows(config: RenderConfig, n_tris: int) -> int:
+    if config.tile_rows is not None:
+        return config.tile_rows
+    if n_tris <= config.bruteforce_max_tris:
+        # brute force materialises [rays, tri_chunk] intermediates
+        budget = 1 << 24
+        rows = budget // (config.width * min(n_tris, 512))
+    else:
+        rows = (1 << 18) // config.width  # BVH path: per-ray state only
+    return int(np.clip(rows, 1, config.height))
+
+
+def render_frame(
+    pack: ScenePack, camera: CameraPack, config: RenderConfig
+) -> np.ndarray:
+    """Full frame, stitched from tiles on the host; returns [H, W, 4] f32
+    (the SAMPLES texture contents, src/state.rs:691-696)."""
+    tile_h = _auto_tile_rows(config, pack.n_triangles)
+    out = np.zeros((config.height, config.width, 4), np.float32)
+    for y0 in range(0, config.height, tile_h):
+        tile = render_tile(pack, camera, jnp.int32(y0), config, tile_h)
+        rows = min(tile_h, config.height - y0)
+        out[y0 : y0 + rows] = np.asarray(tile)[:rows]
+    return out
+
+
+def render_frame_tiles(pack, camera, config: RenderConfig):
+    """Generator over (y0, rows, tile array) — the progressive API used by
+    the GUI and checkpoint/resume (the reference's per-chunk loop,
+    src/main.rs:310-317)."""
+    tile_h = _auto_tile_rows(config, pack.n_triangles)
+    for y0 in range(0, config.height, tile_h):
+        tile = render_tile(pack, camera, jnp.int32(y0), config, tile_h)
+        rows = min(tile_h, config.height - y0)
+        yield y0, rows, np.asarray(tile)[:rows]
