@@ -22,6 +22,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import jax
+
+# persistent compile cache: TPU compiles through the tunnel are slow
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("RAYTPU_CACHE", os.path.expanduser("~/.raytpu_jaxcache")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import raytpu
 from raytpu.engine.render import count_rays, render_frame, render_tile
 from raytpu.scene.pack import pack_camera, pack_scene
@@ -72,20 +81,81 @@ def _device_pack(host_pack):
     )
 
 
+_FLOOR = None
+
+
+def _rpc_floor():
+    """The tunnel charges a fixed RPC latency per host-side scalar fetch;
+    measure it once so render timings report device time."""
+    global _FLOOR
+    if _FLOOR is None:
+        import jax.numpy as jnp
+
+        @jax.jit
+        def probe(x):
+            return jnp.sum(x * 2.0)
+
+        x = jnp.zeros((1024,), jnp.float32)
+        float(probe(x))
+        ts = [0.0] * 6
+        for i in range(6):
+            t0 = time.perf_counter()
+            float(probe(x))
+            ts[i] = time.perf_counter() - t0
+        _FLOOR = min(ts)
+        log(f"[bench] RPC floor: {_FLOOR*1000:.1f} ms")
+    return _FLOOR
+
+
 def bench_config(name, pack, cam, cfg, repeats=3):
-    """Render repeatedly, return (Mrays/s, ms/frame)."""
-    # compile + warm up
-    frame = render_frame(pack, cam, cfg)
+    """Render repeatedly on-device (scalar-checksum sync, RPC floor
+    subtracted, inner repeats for sub-floor frames); returns
+    (Mrays/s, ms/frame)."""
+    import jax.numpy as jnp
+    from raytpu.engine.render import _auto_tile_rows, render_tile
+
+    floor = _rpc_floor()
+    tile_h = _auto_tile_rows(cfg, pack.n_triangles)
+
+    def make_device_frame(inner):
+        @jax.jit
+        def device_frame():
+            total = jnp.float32(0.0)
+            for _ in range(inner):
+                # chain iterations through y0 so XLA cannot CSE them
+                bump = (total * 0.0).astype(jnp.int32)
+                for y0 in range(0, cfg.height, tile_h):
+                    tile = render_tile(pack, cam, jnp.int32(y0) + bump,
+                                       cfg, tile_h)
+                    total = total + jnp.sum(tile)
+            return total
+
+        return device_frame
+
+    frame1 = make_device_frame(1)
+    t0 = time.time()
+    checksum = float(frame1())
+    log(f"[bench] {name}: warmup {time.time()-t0:.1f}s "
+        f"(checksum {checksum:.1f})")
+    t0 = time.time()
     rays = count_rays(pack, cam, cfg)
+    log(f"[bench] {name}: ray count {rays/1e6:.2f}M ({time.time()-t0:.1f}s)")
+
+    t0 = time.perf_counter()
+    float(frame1())
+    rough = max(time.perf_counter() - t0 - floor, 1e-4)
+    inner = int(np.clip(np.ceil(0.25 / rough), 1, 256))
+    fn = make_device_frame(inner) if inner > 1 else frame1
+    float(fn())  # compile
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        render_frame(pack, cam, cfg)
+        float(fn())
         times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt = max(min(times) - floor, 1e-9) / inner
     mrays = rays / dt / 1e6
-    log(f"[bench] {name}: {rays/1e6:.2f} Mrays in {dt*1000:.1f} ms "
-        f"-> {mrays:.1f} Mrays/s (mean px {np.asarray(frame).mean():.4f})")
+    log(f"[bench] {name}: {rays/1e6:.2f} Mrays in {dt*1000:.2f} ms "
+        f"(x{inner}) -> {mrays:.1f} Mrays/s")
     return mrays, dt * 1000.0
 
 

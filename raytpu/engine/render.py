@@ -11,8 +11,11 @@ This is the TPU-native replacement for the reference's WGSL megakernel
   RNG advances, see kernels/rng.py), so images match the reference at
   matched seed rather than merely statistically;
 * the bounce loop is a static Python unroll (``bounces`` is a compile-time
-  constant); intersection is a scanned brute-force sweep or a
-  ``lax.while_loop`` BVH traversal (kernels/intersect.py);
+  constant) and each iteration is wrapped in ``lax.cond`` so bounces where
+  every lane has died cost nothing;
+* per-hit data comes from exactly two wide row gathers (tri_shade +
+  tri_geo; see raytpu.types), with single-material / single-object /
+  single-light scenes specialised statically to zero extra gathers;
 * samples are accumulated serially per pixel (``lax.fori_loop``) because the
   reference's RNG state carries across samples (src/shader.wgsl:412-414).
 
@@ -44,7 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kernels import rng as rngk
-from ..kernels.intersect import F32_MAX, make_intersectors
+from ..kernels.intersect import F32_MAX, barycentrics, make_intersectors
 from ..kernels.texture import sample_bilinear
 from ..types import CameraPack, RenderConfig, ScenePack
 
@@ -54,9 +57,9 @@ F32_EPSILON = jnp.float32(1.1920929e-7)  # src/shader.wgsl:2
 
 
 def _dot3(a, b):
-    """Explicitly-associated 3-component dot: (ax*bx + ay*by) + az*bz.
-    Used everywhere instead of .sum(axis=-1) so CPU and TPU backends round
-    identically (shadow rays sit one ulp off surfaces — see cast_rays)."""
+    """Explicitly-associated 3-component dot: (ax*bx + ay*by) + az*bz, so
+    CPU and TPU backends round identically (shadow rays sit one ulp off
+    surfaces — see cast_rays)."""
     return a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1] + a[..., 2] * b[..., 2]
 
 
@@ -77,8 +80,6 @@ def cast_rays(px_f, py_f, world, projection, width: int, height: int):
     clip_x = px_f / jnp.float32(width) * 2.0 - 1.0
     clip_y = py_f / jnp.float32(height) * 2.0 - 1.0
     # explicit mat-vec expansion: identical f32 association on every backend
-    # (these feed shadow rays that sit one ulp off surfaces, so rounding
-    # differences are visible as shadow-terminator flips)
     ndc_y = -clip_y
     cam = [
         projection[i, 0] * clip_x + projection[i, 1] * ndc_y + projection[i, 3]
@@ -100,6 +101,58 @@ def cast_rays(px_f, py_f, world, projection, width: int, height: int):
     return o, d
 
 
+def _shade_inputs(pack: ScenePack, ro, rd, hit):
+    """Decode the winning triangle: interpolated object-space pos / normal /
+    uv plus material and object ids, from two fused row gathers
+    (the shader's 5-level chain, src/shader.wgsl:259-293)."""
+    tri = jnp.maximum(hit.tri, 0)
+    u, v = barycentrics(ro, rd, pack.tri_geo, hit.tri)
+    row = pack.tri_shade[tri]  # [R,32]
+    w0 = (1.0 - u - v)[:, None]
+    wu = u[:, None]
+    wv = v[:, None]
+    pos = row[:, 0:3] * w0 + row[:, 3:6] * wu + row[:, 6:9] * wv
+    normal = row[:, 9:12] * w0 + row[:, 12:15] * wu + row[:, 15:18] * wv
+    uv = row[:, 18:20] * w0 + row[:, 20:22] * wu + row[:, 22:24] * wv
+    mat_id = jax.lax.bitcast_convert_type(row[:, 24], jnp.int32)
+    obj_id = jax.lax.bitcast_convert_type(row[:, 25], jnp.int32)
+    return pos, normal, uv, mat_id, obj_id
+
+
+def _material_rows(pack: ScenePack, mat_id):
+    """Material parameters; single-material scenes skip the gather."""
+    if pack.n_materials == 1:
+        row = jnp.broadcast_to(pack.mat_table[0], (mat_id.shape[0], 16))
+    else:
+        row = pack.mat_table[mat_id]
+    metallic = row[:, 0]
+    emission = row[:, 2]
+    ior = row[:, 3]
+    tex_id = jax.lax.bitcast_convert_type(row[:, 4], jnp.int32)
+    has_tex = jax.lax.bitcast_convert_type(row[:, 5], jnp.int32) == 1
+    color = row[:, 8:12]
+    return metallic, emission, ior, tex_id, has_tex, color
+
+
+def _apply_linear(pack: ScenePack, obj_id, pos):
+    """p = (object_to_world * vec4(pos, 0)).xyz — only the 3x3 part
+    (src/shader.wgsl:345); single-object scenes skip the gather. Explicit
+    mat-vec keeps f32 association identical across backends."""
+    if pack.n_objects == 1:
+        lin = jnp.broadcast_to(pack.object_linear[0], (pos.shape[0], 16))
+    else:
+        lin = pack.object_linear[obj_id]
+    return jnp.stack(
+        [
+            lin[:, 3 * i + 0] * pos[:, 0]
+            + lin[:, 3 * i + 1] * pos[:, 1]
+            + lin[:, 3 * i + 2] * pos[:, 2]
+            for i in range(3)
+        ],
+        axis=-1,
+    )
+
+
 def _trace_paths(
     pack: ScenePack, closest, any_hit, ro, rd, rng, bounces: int,
     count_mask=None,
@@ -117,68 +170,37 @@ def _trace_paths(
     # derive from the rays so loop carries keep shard_map varying-axis
     # types (ro alone is a broadcast pinhole origin — unvarying)
     zero_col = ((ro[:, :1] + rd[:, :1]) * 0.0).astype(jnp.float32)
+    ro = ro + zero_col  # make the broadcast pinhole origin varying too
     radiance = jnp.tile(zero_col, (1, 4))
     attenuation = radiance + jnp.array([1.0, 1.0, 1.0, 0.0], jnp.float32)
     alive = zero_col[:, 0] == 0.0
     n_lights_f = pack.n_lights_f
 
-    for _ in range(bounces):
+    def bounce_step(carry):
+        ro, rd, rng, radiance, attenuation, alive = carry
         hit = closest(ro, rd, jnp.float32(0.001), F32_MAX)
         active = alive & hit.valid
 
-        # --- hit decode (src/shader.wgsl:259-293, pre-resolved per tri) ---
-        tri = jnp.maximum(hit.tri, 0)
-        vi = pack.tri_vi[tri]  # [R,3]
-        w0 = (1.0 - hit.u - hit.v)[:, None]
-        wu = hit.u[:, None]
-        wv = hit.v[:, None]
-        n0 = pack.vertex_normal[vi[:, 0]]
-        n1 = pack.vertex_normal[vi[:, 1]]
-        n2 = pack.vertex_normal[vi[:, 2]]
-        normal = n0 * w0 + n1 * wu + n2 * wv
-        p0 = pack.vertex_pos[vi[:, 0]]
-        p1 = pack.vertex_pos[vi[:, 1]]
-        p2 = pack.vertex_pos[vi[:, 2]]
-        pos = p0 * w0 + p1 * wu + p2 * wv  # object space
-        t0 = pack.vertex_uv[vi[:, 0]]
-        t1 = pack.vertex_uv[vi[:, 1]]
-        t2 = pack.vertex_uv[vi[:, 2]]
-        uv = t0 * w0 + t1 * wu + t2 * wv
-
-        mat_id = pack.tri_material[tri]
-        obj_id = pack.tri_object[tri]
+        pos, normal, uv, mat_id, obj_id = _shade_inputs(pack, ro, rd, hit)
+        metallic, emission, ior, tex_id, has_tex, m_color = _material_rows(
+            pack, mat_id
+        )
 
         # face-forward normal (src/shader.wgsl:339-343)
         front = _dot3(rd, normal) < 0.0
         normal = jnp.where(front[:, None], normal, -normal)
 
-        # hit point with the w=0 translation-dropping quirk (:345);
-        # explicit mat-vec keeps f32 association identical across backends
-        linear = pack.object_linear[obj_id]  # [R,3,3]
-        p = (
-            jnp.stack(
-                [
-                    linear[:, i, 0] * pos[:, 0]
-                    + linear[:, i, 1] * pos[:, 1]
-                    + linear[:, i, 2] * pos[:, 2]
-                    for i in range(3)
-                ],
-                axis=-1,
-            )
-            + normal * F32_EPSILON
-        )
+        # hit point with the w=0 translation-dropping quirk (:345)
+        p = _apply_linear(pack, obj_id, pos) + normal * F32_EPSILON
 
         # base colour: bilinear texture or factor (:349-353)
-        m_color = pack.mat_color[mat_id]
-        has_tex = pack.mat_has_texture[mat_id] == 1
-        tex_rgba = sample_bilinear(
-            pack.tex_atlas, pack.tex_size, pack.mat_texture[mat_id], uv
-        )
-        in_color = jnp.where(has_tex[:, None], tex_rgba, m_color)
-
-        emission = pack.mat_emission[mat_id]
-        metallic = pack.mat_metallic[mat_id]
-        ior = pack.mat_ior[mat_id]
+        if pack.has_textures:
+            tex_rgba = sample_bilinear(
+                pack.tex_atlas, pack.tex_size, tex_id, uv
+            )
+            in_color = jnp.where(has_tex[:, None], tex_rgba, m_color)
+        else:
+            in_color = m_color
 
         # --- material dispatch (:355-368) ---
         is_emissive = active & (emission > 0.0)
@@ -197,7 +219,6 @@ def _trace_paths(
         # 50/50 diffuse-glass mix (:362-367); one rand for the choice
         rng, r_mix = rngk.rand_masked(rng, is_mixed)
         is_diffuse = is_mixed & (r_mix > 0.5)
-        is_glass = is_mixed & ~(r_mix > 0.5)
 
         # diffuse: cosine hemisphere in the quirky global-z frame (:212-226)
         rng, u1 = rngk.rand_masked(rng, is_diffuse)
@@ -227,9 +248,7 @@ def _trace_paths(
             is_metal[:, None],
             att_metal,
             jnp.where(
-                is_diffuse[:, None],
-                att_diffuse * half,
-                att_glass * half,
+                is_diffuse[:, None], att_diffuse * half, att_glass * half
             ),
         )
         scattered = jnp.where(
@@ -244,18 +263,22 @@ def _trace_paths(
 
         # --- next-event estimation (:370-374) ---
         rng, r_light = rngk.rand_masked(rng, bounce_on)
-        li = jnp.clip(
-            (r_light * n_lights_f).astype(jnp.int32), 0, pack.n_lights - 1
-        )
-        lpos = pack.light_pos[li]
+        if pack.n_lights == 1:
+            lrow = jnp.broadcast_to(pack.light_table[0], (r, 8))
+        else:
+            li = jnp.clip(
+                (r_light * n_lights_f).astype(jnp.int32), 0,
+                pack.n_lights - 1,
+            )
+            lrow = pack.light_table[li]
+        lpos = lrow[:, 0:3]
+        lcolor = lrow[:, 4:8]
         to_light = lpos - p
         dist = _norm3(to_light)
         ldir = to_light / dist[:, None]
         blocked = any_hit(p, ldir, jnp.float32(0.0), dist)
         # radiance += (color / sqrt(dist)) / (1/N) — unattenuated (:372-374)
-        contrib = (
-            pack.light_color[li] / jnp.sqrt(dist)[:, None]
-        ) / (1.0 / n_lights_f)
+        contrib = (lcolor / jnp.sqrt(dist)[:, None]) / (1.0 / n_lights_f)
         radiance = radiance + jnp.where(
             (bounce_on & ~blocked)[:, None], contrib, 0.0
         )
@@ -263,85 +286,35 @@ def _trace_paths(
         # continue the path (:376-377)
         ro = jnp.where(bounce_on[:, None], p, ro)
         rd = jnp.where(bounce_on[:, None], scattered, rd)
-        alive = bounce_on
+        return ro, rd, rng, radiance, attenuation, bounce_on
+
+    carry = (ro, rd, rng, radiance, attenuation, alive)
+    for _ in range(bounces):
+        # skip entire bounces once every lane has terminated
+        carry = jax.lax.cond(
+            jnp.any(carry[5]), bounce_step, lambda c: c, carry
+        )
         if n_rays is not None:
-            counted = bounce_on & count_mask
+            counted = carry[5] & count_mask
             n_rays = n_rays + 2 * jnp.sum(counted.astype(jnp.int64))
 
+    _, _, rng, radiance, attenuation, _ = carry
     if n_rays is not None:
         return radiance * attenuation, rng, n_rays
     return radiance * attenuation, rng
-
-
-def count_rays(
-    pack: ScenePack, camera: CameraPack, config: RenderConfig
-) -> int:
-    """Count the ray queries the reference would issue for this frame: one
-    primary query per sample plus, per bounce iteration entered, one shadow
-    query and one continuation query (cost model of src/shader.wgsl:321-381,
-    SURVEY.md §3.4). Exact: runs the real trace loop with a counter.
-    Used by the benchmark harness to report honest Mrays/s."""
-    tile_h = _auto_tile_rows(config, pack.n_triangles)
-    total = 0
-    for y0 in range(0, config.height, tile_h):
-        rows = min(tile_h, config.height - y0)
-        n = _count_tile(pack, camera, jnp.int32(y0), config, tile_h, rows)
-        total += int(n)
-    return total
-
-
-@partial(jax.jit, static_argnames=("config", "tile_h", "valid_rows"))
-def _count_tile(pack, camera, y0, config, tile_h, valid_rows):
-    w, h = config.width, config.height
-    closest, any_hit = make_intersectors(
-        pack, bruteforce_max_tris=config.bruteforce_max_tris
-    )
-    px = jnp.tile(jnp.arange(w, dtype=jnp.int32), tile_h)
-    py = (y0 + jnp.arange(tile_h, dtype=jnp.int32)).repeat(w)
-    rng0 = rngk.seed_pixels(px, py, w, config.chunk_size, config.seed)
-    cs = config.chunk_size
-    in_grid = (
-        (px // cs < w // cs) & (py // cs < h // cs)
-        & (py < y0 + valid_rows)
-    )
-    pxf, pyf = px.astype(jnp.float32), py.astype(jnp.float32)
-
-    def body(_, carry):
-        rng, total = carry
-        rng, jx = rngk.rand(rng)
-        rng, jy = rngk.rand(rng)
-        ro, rd = cast_rays(pxf + jx, pyf + jy, camera.world,
-                           camera.projection, w, h)
-        _, rng, n = _trace_paths(
-            pack, closest, any_hit, ro, rd, rng, config.bounces,
-            count_mask=in_grid,
-        )
-        return rng, total + n
-
-    _, total = jax.lax.fori_loop(
-        0, config.samples, body, (rng0, jnp.int64(0))
-    )
-    return total
 
 
 def _flat_shade(pack: ScenePack, closest, ro, rd):
     """raytpu extension: primary-hit base colour (BASELINE config 1).
     Not a reference mode; used for intersection benchmarks and debugging."""
     hit = closest(ro, rd, jnp.float32(0.001), F32_MAX)
-    tri = jnp.maximum(hit.tri, 0)
-    vi = pack.tri_vi[tri]
-    w0 = (1.0 - hit.u - hit.v)[:, None]
-    uv = (
-        pack.vertex_uv[vi[:, 0]] * w0
-        + pack.vertex_uv[vi[:, 1]] * hit.u[:, None]
-        + pack.vertex_uv[vi[:, 2]] * hit.v[:, None]
-    )
-    mat_id = pack.tri_material[tri]
-    has_tex = pack.mat_has_texture[mat_id] == 1
-    tex = sample_bilinear(
-        pack.tex_atlas, pack.tex_size, pack.mat_texture[mat_id], uv
-    )
-    color = jnp.where(has_tex[:, None], tex, pack.mat_color[mat_id])
+    _, _, uv, mat_id, _ = _shade_inputs(pack, ro, rd, hit)
+    _, _, _, tex_id, has_tex, m_color = _material_rows(pack, mat_id)
+    if pack.has_textures:
+        tex = sample_bilinear(pack.tex_atlas, pack.tex_size, tex_id, uv)
+        color = jnp.where(has_tex[:, None], tex, m_color)
+    else:
+        color = m_color
     return jnp.where(hit.valid[:, None], color, 0.0)
 
 
@@ -360,7 +333,8 @@ def render_tile(
     a uniform update (src/state.rs:336-379)."""
     w, h = config.width, config.height
     closest, any_hit = make_intersectors(
-        pack, bruteforce_max_tris=config.bruteforce_max_tris
+        pack, bruteforce_max_tris=config.bruteforce_max_tris,
+        which=config.intersector,
     )
     px = jnp.tile(jnp.arange(w, dtype=jnp.int32), tile_h)
     py = (y0 + jnp.arange(tile_h, dtype=jnp.int32)).repeat(w)
@@ -394,6 +368,57 @@ def render_tile(
     img = acc / jnp.float32(config.samples)
     img = jnp.where(in_grid[:, None], img, 0.0)
     return img.reshape(tile_h, w, 4)
+
+
+def count_rays(
+    pack: ScenePack, camera: CameraPack, config: RenderConfig
+) -> int:
+    """Count the ray queries the reference would issue for this frame: one
+    primary query per sample plus, per bounce iteration entered, one shadow
+    query and one continuation query (cost model of src/shader.wgsl:321-381,
+    SURVEY.md §3.4). Exact: runs the real trace loop with a counter."""
+    tile_h = _auto_tile_rows(config, pack.n_triangles)
+    total = 0
+    for y0 in range(0, config.height, tile_h):
+        rows = min(tile_h, config.height - y0)
+        n = _count_tile(pack, camera, jnp.int32(y0), config, tile_h, rows)
+        total += int(n)
+    return total
+
+
+@partial(jax.jit, static_argnames=("config", "tile_h", "valid_rows"))
+def _count_tile(pack, camera, y0, config, tile_h, valid_rows):
+    w, h = config.width, config.height
+    closest, any_hit = make_intersectors(
+        pack, bruteforce_max_tris=config.bruteforce_max_tris,
+        which=config.intersector,
+    )
+    px = jnp.tile(jnp.arange(w, dtype=jnp.int32), tile_h)
+    py = (y0 + jnp.arange(tile_h, dtype=jnp.int32)).repeat(w)
+    rng0 = rngk.seed_pixels(px, py, w, config.chunk_size, config.seed)
+    cs = config.chunk_size
+    in_grid = (
+        (px // cs < w // cs) & (py // cs < h // cs) & (py < y0 + valid_rows)
+    )
+    pxf, pyf = px.astype(jnp.float32), py.astype(jnp.float32)
+
+    def body(_, carry):
+        rng, total = carry
+        rng, jx = rngk.rand(rng)
+        rng, jy = rngk.rand(rng)
+        ro, rd = cast_rays(pxf + jx, pyf + jy, camera.world,
+                           camera.projection, w, h)
+        # _trace_paths counts the primary query itself (its n_rays init)
+        _, rng, n = _trace_paths(
+            pack, closest, any_hit, ro, rd, rng, config.bounces,
+            count_mask=in_grid,
+        )
+        return rng, total + n
+
+    _, total = jax.lax.fori_loop(
+        0, config.samples, body, (rng0, jnp.int64(0))
+    )
+    return total
 
 
 def _auto_tile_rows(config: RenderConfig, n_tris: int) -> int:

@@ -3,32 +3,31 @@ traversal.
 
 This module replaces the reference's hardware ray queries
 (src/shader.wgsl:312-319; TLAS/BLAS built at src/state.rs:1145-1246). Two
-device paths, both pure XLA (a Pallas variant lives in
+device paths, both pure XLA (a Pallas packet-traversal variant lives in
 ``intersect_pallas.py``):
 
 * **Brute-force sweep** — every ray against every triangle, scanned in
-  fixed-size triangle chunks to bound memory. Dense VPU work with zero
-  gathers; the fastest possible path for small scenes (the cube fixture has
-  12 triangles) and the leaf tester for the BVH path.
-* **Threaded-BVH traversal** — one ``lax.while_loop``; each step gathers one
-  node per ray (skip-link layout from raytpu.accel.bvh) and, when the node
-  is a leaf, tests its ``leaf_size`` contiguous triangles.
+  fixed-size triangle chunks. XLA fuses the whole Möller–Trumbore chain
+  with the running min, so this is dense VPU work with zero gathers — the
+  fastest path for small scenes and the leaf tester for the BVH path.
+* **Threaded-BVH traversal** — one ``lax.while_loop``. TPU row-gather cost
+  is flat in row width, so each step does exactly TWO gathers: one fused
+  node row [8] (bmin, bmax, miss, leaf) and, on leaves, one fused leaf row
+  [40] holding 4 triangles.
 
-The intersection record mirrors WGSL ``RayIntersection``'s consumed fields
-(src/shader.wgsl:259-286): committed t, triangle id (which pre-resolves
-instance_custom_index / geometry_index / primitive_index — see
-scene/pack.py), and barycentrics (u, v) with hit = v0*(1-u-v) + v1*u + v2*v.
+The intersection record carries (t, triangle slot, valid). Barycentrics are
+NOT returned — ``barycentrics`` recomputes them for the single winning
+triangle (bit-identical to the in-sweep values: same inputs, same f32 ops),
+which avoids three [R, chunk]-shaped row-gathers per query.
 
 Ranges are closed, [tmin, tmax], matching acceleration-structure semantics.
-Degenerate padding triangles (e1 = e2 = 0) produce det == 0 and can never
-hit.
+Degenerate padding triangles (e1 = e2 = 0) produce det == 0 and never hit.
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -37,9 +36,7 @@ F32_MAX = jnp.float32(3.40282347e38)
 
 class Hit(NamedTuple):
     t: jnp.ndarray  # [R] f32 (F32_MAX when no hit)
-    tri: jnp.ndarray  # [R] i32 (-1 when no hit)
-    u: jnp.ndarray  # [R] f32 barycentric of v1
-    v: jnp.ndarray  # [R] f32 barycentric of v2
+    tri: jnp.ndarray  # [R] i32 triangle slot (-1 when no hit)
     valid: jnp.ndarray  # [R] bool
 
 
@@ -61,8 +58,8 @@ def _cross(a, b):
 
 
 def moller_trumbore(ro, rd, p0, e1, e2, tmin, tmax):
-    """Batched Möller–Trumbore. ro/rd broadcast against p0/e1/e2 on the
-    second-to-last axis; returns (t, u, v, hit_mask)."""
+    """Batched Möller–Trumbore. ro/rd broadcast against p0/e1/e2;
+    returns (t, u, v, hit_mask)."""
     pvec = _cross(rd, e2)
     det = _dot(e1, pvec)
     inv_det = 1.0 / det
@@ -82,6 +79,23 @@ def moller_trumbore(ro, rd, p0, e1, e2, tmin, tmax):
     return t, u, v, hit
 
 
+def barycentrics(ro, rd, tri_geo, tri):
+    """(u, v) of each ray's winning triangle, recomputed from one fused
+    tri_geo row gather. Bit-identical to the sweep's internal values."""
+    geo = tri_geo[jnp.maximum(tri, 0)]  # [R,12]
+    p0 = geo[:, 0:3]
+    e1 = geo[:, 3:6]
+    e2 = geo[:, 6:9]
+    pvec = _cross(rd, e2)
+    det = _dot(e1, pvec)
+    inv_det = 1.0 / det
+    tvec = ro - p0
+    u = _dot(tvec, pvec) * inv_det
+    qvec = _cross(tvec, e1)
+    v = _dot(rd, qvec) * inv_det
+    return u, v
+
+
 def intersect_bruteforce(
     ro: jnp.ndarray,
     rd: jnp.ndarray,
@@ -92,55 +106,45 @@ def intersect_bruteforce(
     tmax,
     chunk: int = 512,
 ) -> Hit:
-    """Closest hit over all triangles. ro/rd: [R,3]."""
+    """Closest hit over all triangles. ro/rd: [R,3]; tmax scalar or [R]."""
     n = tri_p0.shape[0]
     chunk = min(chunk, n)
     assert n % chunk == 0, "triangle array must pad to a chunk multiple"
     n_chunks = n // chunk
-    r = ro.shape[0]
     ro_b = ro[:, None, :]
     rd_b = rd[:, None, :]
+    tmax_b = tmax[:, None] if jnp.ndim(tmax) == 1 else tmax
 
-    def body(carry, tri_chunk):
-        best_t, best_tri, best_u, best_v = carry
-        c_p0, c_e1, c_e2, c_ids = tri_chunk
-        t, u, v, hit = moller_trumbore(ro_b, rd_b, c_p0, c_e1, c_e2, tmin, tmax)
+    def body(carry, xs):
+        best_t, best_tri = carry
+        base, c_p0, c_e1, c_e2 = xs
+        t, _, _, hit = moller_trumbore(
+            ro_b, rd_b, c_p0, c_e1, c_e2, tmin, tmax_b
+        )
         t = jnp.where(hit, t, F32_MAX)
-        # argmin within the chunk, then merge with carry
-        k = jnp.argmin(t, axis=1)
-        rows = jnp.arange(r)
-        ct, cu, cv = t[rows, k], u[rows, k], v[rows, k]
-        cid = c_ids[k]
+        k = jnp.argmin(t, axis=1).astype(jnp.int32)
+        ct = t.min(axis=1)
         better = ct < best_t
+        # chunk triangle ids are consecutive: id = base + lane — no gather
         return (
             jnp.where(better, ct, best_t),
-            jnp.where(better, cid, best_tri),
-            jnp.where(better, cu, best_u),
-            jnp.where(better, cv, best_v),
+            jnp.where(better, base + k, best_tri),
         ), None
 
-    ids = jnp.arange(n, dtype=jnp.int32).reshape(n_chunks, chunk)
-    # carries derive from the rays so their sharding axes match the
-    # outputs (required under shard_map's varying-axis checks); ro alone is
-    # not enough — a pinhole origin is a broadcast constant
-    zeros = (ro[:, 0] + rd[:, 0]) * 0.0
-    init = (
-        zeros + F32_MAX,
-        zeros.astype(jnp.int32) - 1,
-        zeros,
-        zeros,
-    )
-    (t, tri, u, v), _ = lax.scan(
+    zeros = (ro[:, 0] + rd[:, 0]) * 0.0  # varying-axis-correct init
+    init = (zeros + F32_MAX, zeros.astype(jnp.int32) - 1)
+    bases = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)
+    (t, tri), _ = lax.scan(
         body,
         init,
         (
+            bases,
             tri_p0.reshape(n_chunks, chunk, 3),
             tri_e1.reshape(n_chunks, chunk, 3),
             tri_e2.reshape(n_chunks, chunk, 3),
-            ids,
         ),
     )
-    return Hit(t=t, tri=tri, u=u, v=v, valid=tri >= 0)
+    return Hit(t=t, tri=tri, valid=tri >= 0)
 
 
 def intersect_any_bruteforce(
@@ -156,7 +160,9 @@ def intersect_any_bruteforce(
 
     def body(blocked, tri_chunk):
         c_p0, c_e1, c_e2 = tri_chunk
-        _, _, _, hit = moller_trumbore(ro_b, rd_b, c_p0, c_e1, c_e2, tmin, tmax_b)
+        _, _, _, hit = moller_trumbore(
+            ro_b, rd_b, c_p0, c_e1, c_e2, tmin, tmax_b
+        )
         return blocked | hit.any(axis=1), None
 
     blocked, _ = lax.scan(
@@ -175,9 +181,9 @@ def _slab_test(bmin, bmax, ro, inv_d, tmin, tmax):
     """Ray-AABB slab test; robust to inv_d = ±inf (axis-parallel rays)."""
     t0 = (bmin - ro) * inv_d
     t1 = (bmax - ro) * inv_d
-    # NaNs (0 * inf) must not poison the min/max: replace with ±inf
     lo = jnp.minimum(t0, t1)
     hi = jnp.maximum(t0, t1)
+    # NaNs (0 * inf) must not poison the min/max
     lo = jnp.where(jnp.isnan(lo), -jnp.inf, lo)
     hi = jnp.where(jnp.isnan(hi), jnp.inf, hi)
     near = jnp.maximum(lo.max(axis=-1), tmin)
@@ -188,87 +194,85 @@ def _slab_test(bmin, bmax, ro, inv_d, tmin, tmax):
 def intersect_bvh(
     ro: jnp.ndarray,
     rd: jnp.ndarray,
-    tri_p0: jnp.ndarray,
-    tri_e1: jnp.ndarray,
-    tri_e2: jnp.ndarray,
     bvh,
     tmin,
     tmax,
     leaf_size: int = 4,
     any_hit: bool = False,
 ):
-    """Stackless threaded-BVH closest-hit (or any-hit) traversal.
+    """Stackless threaded-BVH traversal over fused node/leaf rows.
 
     All rays advance in lockstep through their own node pointers inside one
-    ``lax.while_loop``; finished rays park at ptr = -1. ``tmax`` may be
-    per-ray. Returns Hit (closest) or bool blocked (any_hit)."""
+    ``lax.while_loop``; finished rays park at ptr = -1. Each step costs one
+    node-row gather plus (for lanes at a leaf) one leaf-row gather. ``tmax``
+    may be per-ray. Returns Hit (closest) or bool blocked (any_hit)."""
     r = ro.shape[0]
     tmax_r = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
     inv_d = 1.0 / rd
+    nodes = bvh.nodes
+    leaf_tris = bvh.leaf_tris
 
     def cond(state):
         return jnp.any(state[0] >= 0)
 
     def body(state):
-        ptr, best_t, best_tri, best_u, best_v = state
+        ptr, best_t, best_tri = state
         active = ptr >= 0
         idx = jnp.maximum(ptr, 0)
-        node_bmin = bvh.bmin[idx]
-        node_bmax = bvh.bmax[idx]
-        leaf_first = bvh.leaf_first[idx]
-        is_leaf = leaf_first >= 0
+        node = nodes[idx]  # one fused row gather [R,8]
+        node_bmin = node[:, 0:3]
+        node_bmax = node[:, 3:6]
+        miss = lax.bitcast_convert_type(node[:, 6], jnp.int32)
+        leaf_row = lax.bitcast_convert_type(node[:, 7], jnp.int32)
+        is_leaf = leaf_row >= 0
         limit = jnp.minimum(best_t, tmax_r)
         hit_box = _slab_test(node_bmin, node_bmax, ro, inv_d, tmin, limit)
 
         test_leaf = active & is_leaf & hit_box
-        # gather the leaf's triangles (contiguous, leaf_size-aligned);
-        # inactive lanes gather slot 0 harmlessly
-        base = jnp.where(test_leaf, leaf_first, 0)
-        tri_ids = base[:, None] + jnp.arange(leaf_size, dtype=jnp.int32)
-        lp0 = tri_p0[tri_ids]
-        le1 = tri_e1[tri_ids]
-        le2 = tri_e2[tri_ids]
-        t, u, v, hit = moller_trumbore(
-            ro[:, None, :], rd[:, None, :], lp0, le1, le2, tmin, limit[:, None]
+        lrow = leaf_tris[jnp.where(test_leaf, leaf_row, 0)]  # [R,40]
+        tris = lrow.reshape(r, leaf_size, 10)
+        t, _, _, hit = moller_trumbore(
+            ro[:, None, :], rd[:, None, :],
+            tris[:, :, 0:3], tris[:, :, 3:6], tris[:, :, 6:9],
+            tmin, limit[:, None],
         )
         hit = hit & test_leaf[:, None]
         t = jnp.where(hit, t, F32_MAX)
-        k = jnp.argmin(t, axis=1)
-        rows = jnp.arange(r)
-        ct = t[rows, k]
+        k = jnp.argmin(t, axis=1).astype(jnp.int32)
+        ct = t.min(axis=1)
         better = ct < best_t
         best_t = jnp.where(better, ct, best_t)
-        best_tri = jnp.where(better, tri_ids[rows, k], best_tri)
-        best_u = jnp.where(better, u[rows, k], best_u)
-        best_v = jnp.where(better, v[rows, k], best_v)
+        best_tri = jnp.where(better, leaf_row * leaf_size + k, best_tri)
 
         descend = hit_box & ~is_leaf
-        nxt = jnp.where(descend, idx + 1, bvh.miss[idx])
+        nxt = jnp.where(descend, idx + 1, miss)
         if any_hit:
-            # stop a lane as soon as anything blocks it
             nxt = jnp.where(best_t < F32_MAX, -1, nxt)
         ptr = jnp.where(active, nxt, -1)
-        return ptr, best_t, best_tri, best_u, best_v
+        return ptr, best_t, best_tri
 
     zeros = (ro[:, 0] + rd[:, 0]) * 0.0
     init = (
         zeros.astype(jnp.int32),
         zeros + F32_MAX,
         zeros.astype(jnp.int32) - 1,
-        zeros,
-        zeros,
     )
-    ptr, t, tri, u, v = lax.while_loop(cond, body, init)
+    ptr, t, tri = lax.while_loop(cond, body, init)
     if any_hit:
         return tri >= 0
-    return Hit(t=t, tri=tri, u=u, v=v, valid=tri >= 0)
+    return Hit(t=t, tri=tri, valid=tri >= 0)
 
 
-def make_intersectors(pack, bruteforce_max_tris: int = 2048, chunk: int = 512):
+def make_intersectors(pack, bruteforce_max_tris: int = 2048,
+                      chunk: int = 512, which: str = "auto"):
     """Pick the path by (static) scene size; returns (closest_fn, any_fn)
     with signatures (ro, rd, tmin, tmax)."""
     n = pack.tri_p0.shape[0]
-    if n <= bruteforce_max_tris:
+    use_brute = (
+        which == "brute"
+        or (which == "auto" and n <= bruteforce_max_tris)
+    )
+    if use_brute:
         def closest(ro, rd, tmin, tmax):
             return intersect_bruteforce(
                 ro, rd, pack.tri_p0, pack.tri_e1, pack.tri_e2, tmin, tmax,
@@ -285,14 +289,13 @@ def make_intersectors(pack, bruteforce_max_tris: int = 2048, chunk: int = 512):
 
         def closest(ro, rd, tmin, tmax):
             return intersect_bvh(
-                ro, rd, pack.tri_p0, pack.tri_e1, pack.tri_e2, pack.bvh,
-                tmin, tmax, leaf_size=leaf_size,
+                ro, rd, pack.bvh, tmin, tmax, leaf_size=leaf_size,
             )
 
         def any_hit(ro, rd, tmin, tmax):
             return intersect_bvh(
-                ro, rd, pack.tri_p0, pack.tri_e1, pack.tri_e2, pack.bvh,
-                tmin, tmax, leaf_size=leaf_size, any_hit=True,
+                ro, rd, pack.bvh, tmin, tmax, leaf_size=leaf_size,
+                any_hit=True,
             )
 
     return closest, any_hit

@@ -4,8 +4,9 @@ The reference is single-GPU; its only parallelism is pixels (SURVEY.md
 §2.7). The TPU-native scaling story is therefore pure data parallelism over
 the pixel domain: shard framebuffer rows across a 1-D ICI mesh with the
 scene tables replicated. Row sharding preserves reference-exact RNG (each
-pixel's stream is self-contained), so a multi-chip render is bit-identical
-to the single-chip one.
+pixel's stream is self-contained), so a multi-chip render matches the
+single-chip one up to 1-ulp float-associativity noise from per-shape XLA
+fusion decisions.
 
 An optional second mesh axis ("spp") splits the per-pixel sample loop across
 chips and ``pmean``s the result. Because the reference's RNG is serial

@@ -3,23 +3,21 @@
 TPU-first lowering decisions (vs. the reference's GPU layout):
 
 * **World-space triangle flattening.** The reference's hardware TLAS holds
-  one instance per mesh-bearing node with a 3x4 transform and traversal
-  transforms rays per instance (src/state.rs:1201-1206). On TPU the
-  equivalent dense layout is to bake each instance's triangles into world
-  space once at pack time: identical memory behaviour (the reference also
-  duplicates geometry per instance — one BLAS per node, SURVEY.md §2.2) and
-  it removes all per-ray transform work from the hot loop.
-* **Pre-resolved intersection records.** The shader's 5-level gather chain
-  object -> mesh -> primitive -> indices -> vertices (src/shader.wgsl:259-293)
-  is collapsed to per-triangle (vertex indices, material, object) so the
-  shade kernel does exactly three vertex gathers + one material gather.
+  one instance per mesh-bearing node and traversal transforms rays per
+  instance (src/state.rs:1201-1206). On TPU the equivalent dense layout is
+  to bake each instance's triangles into world space once at pack time:
+  identical memory behaviour (the reference also duplicates geometry per
+  instance — one BLAS per node, SURVEY.md §2.2) and it removes per-ray
+  transforms from the hot loop.
+* **One-wide-row-per-lookup tables.** TPU row-gather cost is flat in row
+  width (measured up to 128 f32), so every datum a kernel step needs is
+  packed into a single gathered row; see raytpu.types docstring.
 * **BVH leaf ordering.** Triangles are stored in BVH leaf order with
   ``leaf_size`` alignment and degenerate padding, so a leaf visit is one
-  contiguous, maskless gather.
+  contiguous row fetch.
 * **Texture atlas.** The reference binds a runtime array of textures
   (binding 11, src/state.rs:907-916); XLA wants one array, so textures pad
-  into [n, maxH, maxW, 4] with a (w, h) size table (binding 8's
-  TextureDesc).
+  into [n, maxH, maxW, 4] with a (w, h) size table.
 """
 
 from __future__ import annotations
@@ -97,6 +95,10 @@ def _pad_textures(textures) -> tuple[np.ndarray, np.ndarray]:
     return atlas, sizes
 
 
+def _bitcast_i32_to_f32(x: np.ndarray) -> np.ndarray:
+    return x.astype(np.int32).view(np.float32)
+
+
 def pack_scene(scene: SceneData, leaf_size: int = LEAF_SIZE) -> ScenePack:
     """Build the device ScenePack (including the software BVH)."""
     p0, e1, e2, vi, mat, obj = flatten_world_triangles(scene)
@@ -104,17 +106,16 @@ def pack_scene(scene: SceneData, leaf_size: int = LEAF_SIZE) -> ScenePack:
     bvh = build_bvh(p0, e1, e2, leaf_size=leaf_size)
 
     # reorder triangles into BVH leaf order; -1 entries become degenerate
-    # padding triangles (e1 = e2 = 0 can never be hit; see kernels.intersect).
-    # Pad the slot count so the brute-force sweep's fixed triangle chunk
-    # (512) always divides the array.
+    # padding triangles (e1 = e2 = 0 can never be hit). Pad the slot count
+    # so the brute-force sweep's fixed chunk (512) always divides it.
     order = bvh.tri_order
     pad_to = 8 if order.shape[0] <= 512 else 512
     n_slots = max(int(order.shape[0]), pad_to)
     n_slots = -(-n_slots // pad_to) * pad_to
+    assert n_slots % leaf_size == 0
 
     def scatter(arr, fill=0.0):
-        out_shape = (n_slots,) + arr.shape[1:]
-        out = np.full(out_shape, fill, arr.dtype)
+        out = np.full((n_slots,) + arr.shape[1:], fill, arr.dtype)
         valid = order >= 0
         out[: order.shape[0]][valid] = arr[order[valid]]
         return out
@@ -126,89 +127,92 @@ def pack_scene(scene: SceneData, leaf_size: int = LEAF_SIZE) -> ScenePack:
     tri_material = scatter(mat)
     tri_object = scatter(obj)
 
-    # remap BVH leaf_first: already indices into the reordered array ✔
-    # (tri_order positions ARE the new triangle slots)
+    # --- fused rows ---
+    t_cnt = n_slots
+    tri_geo = np.zeros((t_cnt, 12), np.float32)
+    tri_geo[:, 0:3] = tri_p0
+    tri_geo[:, 3:6] = tri_e1
+    tri_geo[:, 6:9] = tri_e2
 
-    # lights: position = translation column of the node transform
-    # (light.transform * (0,0,0,1), src/shader.wgsl:175)
-    n_lights = scene.n_lights
-    if n_lights > 0:
-        light_pos = scene.light_transform[:, :3, 3].astype(np.float32)
-        light_color = scene.light_color.astype(np.float32)
+    # tri_shade: object-space corner positions(9), normals(9), uvs(6),
+    # bitcast material id, bitcast object id -> 26, padded to 32
+    tri_shade = np.zeros((t_cnt, 32), np.float32)
+    vp = scene.vertex_pos if scene.vertex_pos.size else np.zeros((1, 3), np.float32)
+    vn = (
+        scene.vertex_normal if scene.vertex_normal.size
+        else np.zeros((1, 3), np.float32)
+    )
+    vt = scene.vertex_uv if scene.vertex_uv.size else np.zeros((1, 2), np.float32)
+    for k in range(3):
+        ids = tri_vi[:, k]
+        tri_shade[:, 3 * k : 3 * k + 3] = vp[ids]
+        tri_shade[:, 9 + 3 * k : 12 + 3 * k] = vn[ids]
+        tri_shade[:, 18 + 2 * k : 20 + 2 * k] = vt[ids]
+    tri_shade[:, 24] = _bitcast_i32_to_f32(tri_material)
+    tri_shade[:, 25] = _bitcast_i32_to_f32(tri_object)
+
+    # BVH fused node rows + leaf rows
+    n_nodes = bvh.n_nodes
+    nodes = np.zeros((n_nodes, 8), np.float32)
+    nodes[:, 0:3] = bvh.bmin
+    nodes[:, 3:6] = bvh.bmax
+    nodes[:, 6] = _bitcast_i32_to_f32(bvh.miss)
+    leaf_row = np.where(bvh.leaf_first >= 0, bvh.leaf_first // leaf_size, -1)
+    nodes[:, 7] = _bitcast_i32_to_f32(leaf_row.astype(np.int32))
+
+    n_leaf_rows = t_cnt // leaf_size
+    leaf_tris = np.zeros((n_leaf_rows, 10 * leaf_size), np.float32)
+    per_tri = np.concatenate(
+        [tri_p0, tri_e1, tri_e2, np.zeros((t_cnt, 1), np.float32)], axis=1
+    )  # [T,10]
+    leaf_tris[:] = per_tri.reshape(n_leaf_rows, leaf_size * 10)
+
+    # --- objects / materials / lights ---
+    if scene.n_objects == 0:
+        obj_linear = np.zeros((1, 16), np.float32)
+        obj_linear[0, [0, 4, 8]] = 1.0
     else:
-        # pad with one black light so gathers are safe; the rand() that
-        # selects the light is still consumed (src/shader.wgsl:168-172)
-        light_pos = np.zeros((1, 3), np.float32)
-        light_color = np.zeros((1, 4), np.float32)
+        obj_linear = np.zeros((scene.n_objects, 16), np.float32)
+        obj_linear[:, :9] = scene.object_transform[:, :3, :3].reshape(-1, 9)
+
+    n_mats = max(scene.mat_metallic.shape[0], 1)
+    mat_table = np.zeros((n_mats, 16), np.float32)
+    if scene.mat_metallic.shape[0]:
+        mat_table[:, 0] = scene.mat_metallic
+        mat_table[:, 1] = scene.mat_roughness
+        mat_table[:, 2] = scene.mat_emission
+        mat_table[:, 3] = scene.mat_ior
+        mat_table[:, 4] = _bitcast_i32_to_f32(scene.mat_texture)
+        mat_table[:, 5] = _bitcast_i32_to_f32(scene.mat_has_texture)
+        mat_table[:, 8:12] = scene.mat_color
+
+    n_lights = scene.n_lights
+    light_table = np.zeros((max(n_lights, 1), 8), np.float32)
+    if n_lights > 0:
+        # position = translation column of the node transform
+        # (light.transform * (0,0,0,1), src/shader.wgsl:175)
+        light_table[:, 0:3] = scene.light_transform[:, :3, 3]
+        light_table[:, 4:8] = scene.light_color
 
     atlas, sizes = _pad_textures(scene.textures)
-
-    n_mats = scene.mat_metallic.shape[0]
-    if n_mats == 0:
-        # safe gather target; a scene with geometry always has materials
-        mat_pad = dict(
-            metallic=np.zeros(1, np.float32),
-            roughness=np.zeros(1, np.float32),
-            emission=np.zeros(1, np.float32),
-            ior=np.zeros(1, np.float32),
-            texture=np.zeros(1, np.int64),
-            has_texture=np.zeros(1, np.int64),
-            color=np.zeros((1, 4), np.float32),
-        )
-    else:
-        mat_pad = dict(
-            metallic=scene.mat_metallic,
-            roughness=scene.mat_roughness,
-            emission=scene.mat_emission,
-            ior=scene.mat_ior,
-            texture=scene.mat_texture,
-            has_texture=scene.mat_has_texture,
-            color=scene.mat_color,
-        )
-
-    n_verts = scene.vertex_pos.shape[0]
-    if n_verts == 0:
-        vpos = np.zeros((1, 3), np.float32)
-        vnorm = np.zeros((1, 3), np.float32)
-        vuv = np.zeros((1, 2), np.float32)
-    else:
-        vpos, vnorm, vuv = scene.vertex_pos, scene.vertex_normal, scene.vertex_uv
-
-    if scene.n_objects == 0:
-        obj_linear = np.eye(3, dtype=np.float32)[None]
-    else:
-        obj_linear = scene.object_transform[:, :3, :3].astype(np.float32)
 
     return ScenePack(
         tri_p0=jnp.asarray(tri_p0),
         tri_e1=jnp.asarray(tri_e1),
         tri_e2=jnp.asarray(tri_e2),
-        tri_vi=jnp.asarray(tri_vi, jnp.int32),
-        tri_material=jnp.asarray(tri_material, jnp.int32),
-        tri_object=jnp.asarray(tri_object, jnp.int32),
-        vertex_pos=jnp.asarray(vpos, jnp.float32),
-        vertex_normal=jnp.asarray(vnorm, jnp.float32),
-        vertex_uv=jnp.asarray(vuv, jnp.float32),
+        tri_geo=jnp.asarray(tri_geo),
+        tri_shade=jnp.asarray(tri_shade),
         object_linear=jnp.asarray(obj_linear),
-        mat_metallic=jnp.asarray(mat_pad["metallic"], jnp.float32),
-        mat_roughness=jnp.asarray(mat_pad["roughness"], jnp.float32),
-        mat_emission=jnp.asarray(mat_pad["emission"], jnp.float32),
-        mat_ior=jnp.asarray(mat_pad["ior"], jnp.float32),
-        mat_texture=jnp.asarray(mat_pad["texture"], jnp.int32),
-        mat_has_texture=jnp.asarray(mat_pad["has_texture"], jnp.int32),
-        mat_color=jnp.asarray(mat_pad["color"], jnp.float32),
-        light_pos=jnp.asarray(light_pos),
-        light_color=jnp.asarray(light_color),
+        mat_table=jnp.asarray(mat_table),
+        light_table=jnp.asarray(light_table),
         n_lights_f=jnp.float32(n_lights),
         tex_atlas=jnp.asarray(atlas),
         tex_size=jnp.asarray(sizes, jnp.int32),
         bvh=BvhPack(
-            bmin=jnp.asarray(bvh.bmin),
-            bmax=jnp.asarray(bvh.bmax),
-            miss=jnp.asarray(bvh.miss, jnp.int32),
-            leaf_first=jnp.asarray(bvh.leaf_first, jnp.int32),
-            leaf_count=jnp.asarray(bvh.leaf_count, jnp.int32),
+            nodes=jnp.asarray(nodes),
+            leaf_tris=jnp.asarray(leaf_tris),
         ),
+        has_textures=len(scene.textures) > 0,
     )
 
 

@@ -1,15 +1,24 @@
 """Core value types: render configuration and the device scene pack.
 
 ``ScenePack`` is the TPU-resident equivalent of the reference's 13-binding
-GPU bind group (src/state.rs:786-1039): the same logical tables lowered to
-SoA ``jnp`` arrays, plus the software BVH that replaces the hardware
-TLAS/BLAS, plus pre-flattened world-space triangles that replace per-instance
-ray transforms (TPU-first layout; see raytpu/scene/pack.py).
+GPU bind group (src/state.rs:786-1039), laid out for the TPU memory system:
+every per-hit lookup is **one wide row gather** (row-gather cost on TPU is
+flat in row width up to ~128 floats, so tables pack all the data a kernel
+step needs into a single row):
+
+* ``tri_geo``   [T, 12]  world-space p0/e1/e2 (+pad) — barycentric recompute
+* ``tri_shade`` [T, 32]  object-space positions/normals/uvs of the 3 corner
+                         vertices + material/object ids — replaces the
+                         shader's 5-level gather chain (src/shader.wgsl:259-293)
+* ``mat_table`` [M, 16]  metallic/roughness/emission/ior/texture ids + rgba
+* ``light_table``[L, 8]  position + color
+* ``bvh.nodes`` [N, 8]   bmin, bmax, miss link, leaf row (bitcast int32)
+* ``bvh.leaf_tris`` [Nl, 40]  4 triangles x (p0,e1,e2,pad) world space
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Optional
 
 import jax
@@ -30,84 +39,87 @@ class RenderConfig:
     mode: str = "path"  # "path" | "flat" — flat = primary-ray base colour
     tile_rows: Optional[int] = None  # rows per render tile; None = auto
     bruteforce_max_tris: int = 2048  # scenes at/below this skip the BVH
+    intersector: str = "auto"  # "auto" | "brute" | "bvh"
 
 
-def _pytree_dataclass(cls):
-    """Register a dataclass whose fields are all array leaves."""
-    fields = [f.name for f in cls.__dataclass_fields__.values()]
-    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
-    return cls
+def _pytree_dataclass(meta_fields=()):
+    def wrap(cls):
+        names = [f.name for f in cls.__dataclass_fields__.values()]
+        data = [n for n in names if n not in meta_fields]
+        jax.tree_util.register_dataclass(
+            cls, data_fields=data, meta_fields=list(meta_fields)
+        )
+        return cls
+
+    return wrap
 
 
-@_pytree_dataclass
+@_pytree_dataclass()
 @dataclass(frozen=True)
 class BvhPack:
-    """Device copy of accel.bvh.BvhArrays (threaded stackless layout)."""
+    """Threaded stackless BVH, fused for single-gather traversal steps.
 
-    bmin: Any  # [N,3] f32
-    bmax: Any  # [N,3] f32
-    miss: Any  # [N] i32
-    leaf_first: Any  # [N] i32
-    leaf_count: Any  # [N] i32
+    ``nodes``: [N, 8] f32 — bmin(3), bmax(3), col 6 = bitcast int32 miss
+    link (-1 terminates), col 7 = bitcast int32 leaf row (-1 for interior).
+    ``leaf_tris``: [Nl, 40] f32 — 4 triangles x (p0, e1, e2, pad); global
+    triangle slot of leaf row j, lane k is 4*j + k."""
+
+    nodes: Any  # [N, 8] f32
+    leaf_tris: Any  # [Nl, 40] f32
 
 
-@_pytree_dataclass
+@_pytree_dataclass(meta_fields=("has_textures",))
 @dataclass(frozen=True)
 class ScenePack:
-    """Device-resident scene. All shapes are static; counts are derived from
-    shapes so the pack can flow through jit without retracing surprises.
+    """Device-resident scene. All shapes are static; counts derive from
+    shapes. Triangles are stored in BVH leaf order, padded with degenerate
+    triangles (e1 = e2 = 0 never intersect) so kernels need no masks."""
 
-    Triangle arrays are ordered by the BVH's leaf order (or identity when the
-    scene is brute-force-sized) and padded with degenerate triangles
-    (e1 = e2 = 0 never intersect), so kernels need no validity masks."""
-
-    # world-space triangle geometry (v0 / edge1 / edge2)
+    # brute-force sweep geometry (world space, SoA)
     tri_p0: Any  # [T,3] f32
     tri_e1: Any  # [T,3] f32
     tri_e2: Any  # [T,3] f32
-    # per-triangle shading metadata (reference decodes these through the
-    # object->mesh->primitive->index chain, src/shader.wgsl:259-293; we
-    # pre-resolve the chain at pack time)
-    tri_vi: Any  # [T,3] i32 global vertex indices
-    tri_material: Any  # [T] i32
-    tri_object: Any  # [T] i32
-    # vertex tables (object space, exactly the reference vertex buffer)
-    vertex_pos: Any  # [V,3] f32
-    vertex_normal: Any  # [V,3] f32
-    vertex_uv: Any  # [V,2] f32
-    # per-object linear part of the instance transform; the reference's hit
-    # point uses w=0 (translation dropped, src/shader.wgsl:345), so only the
-    # 3x3 block is ever needed on device.
-    object_linear: Any  # [O,3,3] f32
-    # material SoA (src/scene/mod.rs:16-25)
-    mat_metallic: Any  # [M] f32
-    mat_roughness: Any  # [M] f32
-    mat_emission: Any  # [M] f32
-    mat_ior: Any  # [M] f32
-    mat_texture: Any  # [M] i32
-    mat_has_texture: Any  # [M] i32
-    mat_color: Any  # [M,4] f32
-    # lights: position = transform @ (0,0,0,1) pre-resolved
-    # (src/shader.wgsl:175,189); padded to >=1 with a black light.
-    light_pos: Any  # [L,3] f32
-    light_color: Any  # [L,4] f32
+    # fused per-triangle rows (see module docstring)
+    tri_geo: Any  # [T,12] f32
+    tri_shade: Any  # [T,32] f32
+    # per-object linear transform rows (w=0 quirk needs only the 3x3 part,
+    # src/shader.wgsl:345)
+    object_linear: Any  # [O,16] f32 (3x3 row-major + pad)
+    # materials: metallic, roughness, emission, ior, bitcast(texture),
+    # bitcast(has_texture), color rgba, pad -> 16 cols
+    mat_table: Any  # [M,16] f32
+    # lights: position(3), pad, color(4) (position = transform @ origin,
+    # src/shader.wgsl:175,189); padded to >= 1 with a black light
+    light_table: Any  # [L,8] f32
     n_lights_f: Any  # [] f32 — f32(UNIFORMS.lights) incl. 0-light scenes
-    # textures: padded atlas, normalized to [0,1] f32 like Rgba8Unorm reads
+    # textures: padded atlas, normalized like Rgba8Unorm reads
     tex_atlas: Any  # [Tx, maxH, maxW, 4] f32
     tex_size: Any  # [Tx, 2] i32 (width, height)
     # software acceleration structure
     bvh: BvhPack
+    # static: False when the scene has no textures at all, which lets the
+    # renderer skip sampling entirely (the reference binds a dummy 1x1
+    # texture in that case, src/state.rs:613-620)
+    has_textures: bool = False
 
     @property
     def n_triangles(self) -> int:
         return int(self.tri_p0.shape[0])
 
     @property
+    def n_materials(self) -> int:
+        return int(self.mat_table.shape[0])
+
+    @property
+    def n_objects(self) -> int:
+        return int(self.object_linear.shape[0])
+
+    @property
     def n_lights(self) -> int:
-        return int(self.light_pos.shape[0])
+        return int(self.light_table.shape[0])
 
 
-@_pytree_dataclass
+@_pytree_dataclass()
 @dataclass(frozen=True)
 class CameraPack:
     """Device camera: the two matrices of the reference's Uniforms

@@ -85,40 +85,41 @@ def _random_soup(n_tris, rng):
     return a, b, c
 
 
-@pytest.mark.parametrize("n_tris", [5, 37, 256])
-def test_bvh_matches_bruteforce(n_tris):
-    rng = np.random.default_rng(n_tris)
-    a, b, c = _random_soup(n_tris, rng)
-    p0 = a
-    e1 = b - a
-    e2 = c - a
+def _build_bvh_pack(p0, e1, e2):
+    """Fused node/leaf rows exactly as scene.pack builds them."""
     bvh = build_bvh(p0, e1, e2)
-    validate_bvh(bvh, n_tris)
-
-    # reorder into leaf order with degenerate padding (as pack_scene does)
     order = bvh.tri_order
-    n_slots = order.shape[0]
+    n_slots = -(-max(int(order.shape[0]), 8) // 8) * 8
 
     def scat(arr):
         out = np.zeros((n_slots,) + arr.shape[1:], arr.dtype)
         valid = order >= 0
-        out[valid] = arr[order[valid]]
+        out[: order.shape[0]][valid] = arr[order[valid]]
         return out
 
-    rp0, re1, re2 = (jnp.asarray(scat(x)) for x in (p0, e1, e2))
-    pad = (-n_slots) % 8
-    if pad:
-        rp0 = jnp.concatenate([rp0, jnp.zeros((pad, 3))])
-        re1 = jnp.concatenate([re1, jnp.zeros((pad, 3))])
-        re2 = jnp.concatenate([re2, jnp.zeros((pad, 3))])
-
-    bpack = BvhPack(
-        bmin=jnp.asarray(bvh.bmin),
-        bmax=jnp.asarray(bvh.bmax),
-        miss=jnp.asarray(bvh.miss),
-        leaf_first=jnp.asarray(bvh.leaf_first),
-        leaf_count=jnp.asarray(bvh.leaf_count),
+    rp0, re1, re2 = scat(p0), scat(e1), scat(e2)
+    nodes = np.zeros((bvh.n_nodes, 8), np.float32)
+    nodes[:, 0:3] = bvh.bmin
+    nodes[:, 3:6] = bvh.bmax
+    nodes[:, 6] = bvh.miss.astype(np.int32).view(np.float32)
+    leaf_row = np.where(
+        bvh.leaf_first >= 0, bvh.leaf_first // LEAF_SIZE, -1
+    ).astype(np.int32)
+    nodes[:, 7] = leaf_row.view(np.float32)
+    per_tri = np.concatenate(
+        [rp0, re1, re2, np.zeros((n_slots, 1), np.float32)], axis=1
     )
+    leaf_tris = per_tri.reshape(n_slots // LEAF_SIZE, LEAF_SIZE * 10)
+    bpack = BvhPack(nodes=jnp.asarray(nodes), leaf_tris=jnp.asarray(leaf_tris))
+    return bvh, bpack, jnp.asarray(rp0), jnp.asarray(re1), jnp.asarray(re2)
+
+
+@pytest.mark.parametrize("n_tris", [5, 37, 256])
+def test_bvh_matches_bruteforce(n_tris):
+    rng = np.random.default_rng(n_tris)
+    a, b, c = _random_soup(n_tris, rng)
+    bvh, bpack, rp0, re1, re2 = _build_bvh_pack(a, b - a, c - a)
+    validate_bvh(bvh, n_tris)
 
     n_rays = 128
     ro = jnp.asarray(rng.uniform(-8, 8, (n_rays, 3)).astype(np.float32))
@@ -126,9 +127,7 @@ def test_bvh_matches_bruteforce(n_tris):
     rd = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
 
     brute = intersect_bruteforce(ro, rd, rp0, re1, re2, 0.001, F32_MAX)
-    tree = intersect_bvh(
-        ro, rd, rp0, re1, re2, bpack, 0.001, F32_MAX, leaf_size=LEAF_SIZE
-    )
+    tree = intersect_bvh(ro, rd, bpack, 0.001, F32_MAX, leaf_size=LEAF_SIZE)
     np.testing.assert_allclose(
         np.asarray(tree.t), np.asarray(brute.t), rtol=1e-6
     )
@@ -144,7 +143,36 @@ def test_bvh_matches_bruteforce(n_tris):
     tmax = jnp.asarray(rng.uniform(1, 20, n_rays).astype(np.float32))
     ba = intersect_any_bruteforce(ro, rd, rp0, re1, re2, 0.0, tmax)
     ta = intersect_bvh(
-        ro, rd, rp0, re1, re2, bpack, 0.0, tmax, leaf_size=LEAF_SIZE,
-        any_hit=True,
+        ro, rd, bpack, 0.0, tmax, leaf_size=LEAF_SIZE, any_hit=True
     )
     np.testing.assert_array_equal(np.asarray(ta), np.asarray(ba))
+
+
+def test_barycentrics_recompute_matches_direct():
+    from raytpu.kernels.intersect import barycentrics
+
+    rng = np.random.default_rng(0)
+    a, b, c = _random_soup(64, rng)
+    _, bpack, rp0, re1, re2 = _build_bvh_pack(a, b - a, c - a)
+    n_slots = rp0.shape[0]
+    tri_geo = jnp.concatenate(
+        [rp0, re1, re2, jnp.zeros((n_slots, 3))], axis=1
+    )
+    n_rays = 64
+    ro = jnp.asarray(rng.uniform(-8, 8, (n_rays, 3)).astype(np.float32))
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    rd = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+    hit = intersect_bruteforce(ro, rd, rp0, re1, re2, 0.001, F32_MAX)
+    u, v = barycentrics(ro, rd, tri_geo, hit.tri)
+    # direct per-winning-triangle evaluation
+    tri = np.maximum(np.asarray(hit.tri), 0)
+    t2, u2, v2, _ = moller_trumbore(
+        ro, rd, rp0[tri], re1[tri], re2[tri], 0.001, F32_MAX
+    )
+    valid = np.asarray(hit.valid)
+    np.testing.assert_array_equal(np.asarray(u)[valid], np.asarray(u2)[valid])
+    np.testing.assert_array_equal(np.asarray(v)[valid], np.asarray(v2)[valid])
+    # and the recomputed t equals the sweep's committed t
+    np.testing.assert_array_equal(
+        np.asarray(t2)[valid], np.asarray(hit.t)[valid]
+    )
