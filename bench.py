@@ -49,7 +49,8 @@ def _cached_atrium(target_tris: int):
     import pickle
 
     os.makedirs(CACHE, exist_ok=True)
-    key = os.path.join(CACHE, f"atrium_{target_tris}.pkl")
+    schema = 2  # bump when ScenePack layout changes
+    key = os.path.join(CACHE, f"atrium_{target_tris}_v{schema}.pkl")
     from benchmarks.scenes import build_atrium
 
     scene = build_atrium(target_tris)

@@ -155,13 +155,14 @@ def _apply_linear(pack: ScenePack, obj_id, pos):
 
 def _trace_paths(
     pack: ScenePack, closest, any_hit, ro, rd, rng, bounces: int,
-    count_mask=None,
+    count_mask=None, mask=None,
 ):
     """One full path per lane: the reference's ``pixel_color``
-    (src/shader.wgsl:321-381), vectorised with masks. Returns
-    (radiance * attenuation [R,4], rng); with ``count_mask`` also returns the
-    number of ray queries issued by masked lanes (1 primary + 2 per bounce
-    iteration entered — the reference's cost model, SURVEY.md §3.4)."""
+    (src/shader.wgsl:321-381), vectorised with masks. ``mask`` restricts
+    which lanes trace at all (lanes outside return 0 radiance). With
+    ``count_mask`` also returns the number of ray queries issued by masked
+    lanes (1 primary + 2 per bounce iteration entered — the reference's
+    cost model, SURVEY.md §3.4)."""
     r = ro.shape[0]
     n_rays = (
         jnp.sum(count_mask.astype(jnp.int64)) if count_mask is not None
@@ -174,11 +175,18 @@ def _trace_paths(
     radiance = jnp.tile(zero_col, (1, 4))
     attenuation = radiance + jnp.array([1.0, 1.0, 1.0, 0.0], jnp.float32)
     alive = zero_col[:, 0] == 0.0
+    if mask is not None:
+        alive = alive & mask
     n_lights_f = pack.n_lights_f
+    NEG_INF = jnp.float32(-jnp.inf)
 
     def bounce_step(carry):
         ro, rd, rng, radiance, attenuation, alive = carry
-        hit = closest(ro, rd, jnp.float32(0.001), F32_MAX)
+        # dead lanes get tmax = -inf: no path may produce hits for them
+        # (and the packet kernel drops them from box tests entirely)
+        hit = closest(
+            ro, rd, jnp.float32(0.001), jnp.where(alive, F32_MAX, NEG_INF)
+        )
         active = alive & hit.valid
 
         pos, normal, uv, mat_id, obj_id = _shade_inputs(pack, ro, rd, hit)
@@ -276,7 +284,9 @@ def _trace_paths(
         to_light = lpos - p
         dist = _norm3(to_light)
         ldir = to_light / dist[:, None]
-        blocked = any_hit(p, ldir, jnp.float32(0.0), dist)
+        blocked = any_hit(
+            p, ldir, jnp.float32(0.0), jnp.where(bounce_on, dist, NEG_INF)
+        )
         # radiance += (color / sqrt(dist)) / (1/N) — unattenuated (:372-374)
         contrib = (lcolor / jnp.sqrt(dist)[:, None]) / (1.0 / n_lights_f)
         radiance = radiance + jnp.where(
@@ -318,6 +328,74 @@ def _flat_shade(pack: ScenePack, closest, ro, rd):
     return jnp.where(hit.valid[:, None], color, 0.0)
 
 
+def _choose_intersectors(pack: ScenePack, config: RenderConfig):
+    """Resolve config.intersector; returns ((closest, any), packet_mode).
+
+    'auto' picks the Pallas packet kernel on TPU whenever the BVH fits its
+    VMEM budget, the dense brute-force sweep for small scenes elsewhere,
+    and the XLA threaded-BVH loop otherwise."""
+    from ..kernels.intersect_pallas import (
+        make_packet_intersectors,
+        vmem_budget_ok,
+    )
+
+    which = config.intersector
+    if which == "auto":
+        try:
+            platform = jax.devices()[0].platform.lower()
+        except Exception:
+            platform = "cpu"
+        on_tpu = "tpu" in platform or "axon" in platform
+        if on_tpu and vmem_budget_ok(pack):
+            which = "packet"
+        elif pack.n_triangles <= config.bruteforce_max_tris:
+            which = "brute"
+        else:
+            which = "bvh"
+    if which == "packet":
+        try:
+            platform = jax.devices()[0].platform.lower()
+        except Exception:
+            platform = "cpu"
+        interpret = not ("tpu" in platform or "axon" in platform)
+        return make_packet_intersectors(pack, interpret=interpret), True
+    return (
+        make_intersectors(
+            pack, bruteforce_max_tris=config.bruteforce_max_tris, which=which
+        ),
+        False,
+    )
+
+
+def _pixel_layout(w: int, tile_h: int, packet_mode: bool):
+    """Pixel index layout for one tile.
+
+    Packet mode orders rays in 32x32-pixel blocks (padded) so each Pallas
+    packet covers a coherent frustum; returns (px, py_local, unpermute)
+    where unpermute maps the flat [R,4] buffer back to [tile_h, w, 4]."""
+    if not packet_mode:
+        px = jnp.tile(jnp.arange(w, dtype=jnp.int32), tile_h)
+        py = jnp.arange(tile_h, dtype=jnp.int32).repeat(w)
+        return px, py, lambda img: img.reshape(tile_h, w, 4)
+
+    B = 32
+    wp = -(-w // B) * B
+    hp = -(-tile_h // B) * B
+    pxg, pyg = np.meshgrid(np.arange(wp), np.arange(hp))
+    order = lambda a: a.reshape(hp // B, B, wp // B, B).transpose(
+        0, 2, 1, 3
+    ).reshape(-1)
+    px = jnp.asarray(order(pxg), jnp.int32)
+    py = jnp.asarray(order(pyg), jnp.int32)
+
+    def unpermute(img):
+        img = img.reshape(hp // B, wp // B, B, B, 4)
+        img = img.transpose(0, 2, 1, 3, 4).reshape(hp, wp, 4)
+        return img[:tile_h, :w]
+
+    return px, py, unpermute
+
+
 @partial(jax.jit, static_argnames=("config", "tile_h"))
 def render_tile(
     pack: ScenePack,
@@ -332,12 +410,9 @@ def render_tile(
     how the reference re-dispatches one compute pipeline per chunk with only
     a uniform update (src/state.rs:336-379)."""
     w, h = config.width, config.height
-    closest, any_hit = make_intersectors(
-        pack, bruteforce_max_tris=config.bruteforce_max_tris,
-        which=config.intersector,
-    )
-    px = jnp.tile(jnp.arange(w, dtype=jnp.int32), tile_h)
-    py = (y0 + jnp.arange(tile_h, dtype=jnp.int32)).repeat(w)
+    (closest, any_hit), packet_mode = _choose_intersectors(pack, config)
+    px, py_local, unpermute = _pixel_layout(w, tile_h, packet_mode)
+    py = y0 + py_local
     rng0 = rngk.seed_pixels(px, py, w, config.chunk_size, config.seed)
 
     # pixels outside the chunk grid are never dispatched by the reference
@@ -359,7 +434,8 @@ def render_tile(
             color = _flat_shade(pack, closest, ro, rd)
         else:
             color, rng = _trace_paths(
-                pack, closest, any_hit, ro, rd, rng, config.bounces
+                pack, closest, any_hit, ro, rd, rng, config.bounces,
+                mask=in_grid,
             )
         return rng, acc + color
 
@@ -367,7 +443,7 @@ def render_tile(
     _, acc = jax.lax.fori_loop(0, config.samples, sample_body, (rng0, acc0))
     img = acc / jnp.float32(config.samples)
     img = jnp.where(in_grid[:, None], img, 0.0)
-    return img.reshape(tile_h, w, 4)
+    return unpermute(img)
 
 
 def count_rays(
@@ -389,14 +465,13 @@ def count_rays(
 @partial(jax.jit, static_argnames=("config", "tile_h", "valid_rows"))
 def _count_tile(pack, camera, y0, config, tile_h, valid_rows):
     w, h = config.width, config.height
-    closest, any_hit = make_intersectors(
-        pack, bruteforce_max_tris=config.bruteforce_max_tris,
-        which=config.intersector,
-    )
-    px = jnp.tile(jnp.arange(w, dtype=jnp.int32), tile_h)
-    py = (y0 + jnp.arange(tile_h, dtype=jnp.int32)).repeat(w)
+    (closest, any_hit), packet_mode = _choose_intersectors(pack, config)
+    px, py_local, _ = _pixel_layout(w, tile_h, packet_mode)
+    py = y0 + py_local
     rng0 = rngk.seed_pixels(px, py, w, config.chunk_size, config.seed)
     cs = config.chunk_size
+    # (py < y0 + valid_rows) also drops packet-padding lanes that alias the
+    # next tile's pixels — they must not be double counted
     in_grid = (
         (px // cs < w // cs) & (py // cs < h // cs) & (py < y0 + valid_rows)
     )
@@ -411,7 +486,7 @@ def _count_tile(pack, camera, y0, config, tile_h, valid_rows):
         # _trace_paths counts the primary query itself (its n_rays init)
         _, rng, n = _trace_paths(
             pack, closest, any_hit, ro, rd, rng, config.bounces,
-            count_mask=in_grid,
+            count_mask=in_grid, mask=in_grid,
         )
         return rng, total + n
 

@@ -31,6 +31,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 from jax import lax
 
+from ..accel.bvh import LEAF_SIZE
+
 F32_MAX = jnp.float32(3.40282347e38)
 
 
@@ -197,7 +199,7 @@ def intersect_bvh(
     bvh,
     tmin,
     tmax,
-    leaf_size: int = 4,
+    leaf_size: int = LEAF_SIZE,
     any_hit: bool = False,
 ):
     """Stackless threaded-BVH traversal over fused node/leaf rows.
@@ -285,7 +287,7 @@ def make_intersectors(pack, bruteforce_max_tris: int = 2048,
                 chunk=chunk,
             )
     else:
-        from ..accel.bvh import LEAF_SIZE as leaf_size
+        leaf_size = LEAF_SIZE
 
         def closest(ro, rd, tmin, tmax):
             return intersect_bvh(

@@ -103,7 +103,7 @@ def pack_scene(scene: SceneData, leaf_size: int = LEAF_SIZE) -> ScenePack:
     """Build the device ScenePack (including the software BVH)."""
     p0, e1, e2, vi, mat, obj = flatten_world_triangles(scene)
 
-    bvh = build_bvh(p0, e1, e2, leaf_size=leaf_size)
+    bvh, bvh8 = build_bvh(p0, e1, e2, leaf_size=leaf_size)
 
     # reorder triangles into BVH leaf order; -1 entries become degenerate
     # padding triangles (e1 = e2 = 0 can never be hit). Pad the slot count
@@ -210,6 +210,7 @@ def pack_scene(scene: SceneData, leaf_size: int = LEAF_SIZE) -> ScenePack:
         tex_size=jnp.asarray(sizes, jnp.int32),
         bvh=BvhPack(
             nodes=jnp.asarray(nodes),
+            node8_rows=jnp.asarray(bvh8.node_rows),
             leaf_tris=jnp.asarray(leaf_tris),
         ),
         has_textures=len(scene.textures) > 0,

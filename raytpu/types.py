@@ -57,15 +57,21 @@ def _pytree_dataclass(meta_fields=()):
 @_pytree_dataclass()
 @dataclass(frozen=True)
 class BvhPack:
-    """Threaded stackless BVH, fused for single-gather traversal steps.
+    """Both BVH device layouts (see raytpu.accel.bvh).
 
-    ``nodes``: [N, 8] f32 — bmin(3), bmax(3), col 6 = bitcast int32 miss
-    link (-1 terminates), col 7 = bitcast int32 leaf row (-1 for interior).
-    ``leaf_tris``: [Nl, 40] f32 — 4 triangles x (p0, e1, e2, pad); global
-    triangle slot of leaf row j, lane k is 4*j + k."""
+    ``nodes``: threaded binary layout, [N, 8] f32 — bmin(3), bmax(3),
+    col 6 = bitcast int32 miss link (-1 terminates), col 7 = bitcast int32
+    leaf row (-1 for interior). Used by the XLA while_loop path.
+    ``node8_rows``: 8-wide layout, [N8, 128] f32 — child k at columns
+    [16k, 16k+16): bmin, bmax, bitcast link (interior child index, or
+    ~leaf_row). Used by the Pallas packet kernel.
+    ``leaf_tris``: shared leaf rows, [Nl, 8*10] f32 — 8 triangles x
+    (p0, e1, e2, pad); global triangle slot of leaf row j, lane k is
+    8*j + k."""
 
     nodes: Any  # [N, 8] f32
-    leaf_tris: Any  # [Nl, 40] f32
+    node8_rows: Any  # [N8, 128] f32
+    leaf_tris: Any  # [Nl, 80] f32
 
 
 @_pytree_dataclass(meta_fields=("has_textures",))

@@ -87,9 +87,9 @@ def _random_soup(n_tris, rng):
 
 def _build_bvh_pack(p0, e1, e2):
     """Fused node/leaf rows exactly as scene.pack builds them."""
-    bvh = build_bvh(p0, e1, e2)
+    bvh, bvh8 = build_bvh(p0, e1, e2)
     order = bvh.tri_order
-    n_slots = -(-max(int(order.shape[0]), 8) // 8) * 8
+    n_slots = -(-max(int(order.shape[0]), LEAF_SIZE) // LEAF_SIZE) * LEAF_SIZE
 
     def scat(arr):
         out = np.zeros((n_slots,) + arr.shape[1:], arr.dtype)
@@ -110,7 +110,11 @@ def _build_bvh_pack(p0, e1, e2):
         [rp0, re1, re2, np.zeros((n_slots, 1), np.float32)], axis=1
     )
     leaf_tris = per_tri.reshape(n_slots // LEAF_SIZE, LEAF_SIZE * 10)
-    bpack = BvhPack(nodes=jnp.asarray(nodes), leaf_tris=jnp.asarray(leaf_tris))
+    bpack = BvhPack(
+        nodes=jnp.asarray(nodes),
+        node8_rows=jnp.asarray(bvh8.node_rows),
+        leaf_tris=jnp.asarray(leaf_tris),
+    )
     return bvh, bpack, jnp.asarray(rp0), jnp.asarray(re1), jnp.asarray(re2)
 
 
@@ -176,3 +180,50 @@ def test_barycentrics_recompute_matches_direct():
     np.testing.assert_array_equal(
         np.asarray(t2)[valid], np.asarray(hit.t)[valid]
     )
+
+
+def test_packet_kernel_matches_bruteforce_interpret():
+    """The Pallas packet kernel (interpret mode, runs on CPU) must agree
+    with the brute-force sweep on closest-hit t and any-hit blocking."""
+    from raytpu.accel.bvh import validate_bvh8
+    from raytpu.kernels.intersect_pallas import PACKET, packet_query
+
+    rng = np.random.default_rng(7)
+    a, b, c = _random_soup(300, rng)
+    bvh, bpack, rp0, re1, re2 = _build_bvh_pack(a, b - a, c - a)
+    validate_bvh8(build_bvh(a, b - a, c - a)[1], 300)
+
+    n_rays = PACKET
+    ro = jnp.asarray(rng.uniform(-8, 8, (n_rays, 3)).astype(np.float32))
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    rd = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+
+    brute = intersect_bruteforce(ro, rd, rp0, re1, re2, 0.001, F32_MAX)
+    t, tri = packet_query(
+        bpack.node8_rows, bpack.leaf_tris,
+        ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
+        jnp.full(n_rays, float(F32_MAX)), tmin=0.001, interpret=True,
+    )
+    t = np.asarray(t)
+    bt = np.asarray(brute.t)
+    valid = np.asarray(brute.valid)
+    np.testing.assert_array_equal(tri >= 0, valid)
+    np.testing.assert_allclose(t[valid], bt[valid], rtol=1e-6)
+
+    # any-hit with per-ray tmax; dead lanes (tmax=-inf) never block
+    tmax = rng.uniform(1, 20, n_rays).astype(np.float32)
+    tmax[::7] = -np.inf  # simulate dead lanes
+    ba = intersect_any_bruteforce(
+        ro, rd, rp0, re1, re2, 0.0, jnp.asarray(np.where(
+            np.isinf(tmax), -1.0, tmax).astype(np.float32))
+    )
+    _, tri_a = packet_query(
+        bpack.node8_rows, bpack.leaf_tris,
+        ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
+        jnp.asarray(tmax), tmin=0.0, any_hit=True, interpret=True,
+    )
+    blocked_pal = np.asarray(tri_a) >= 0
+    blocked_brу = np.asarray(ba)
+    live = ~np.isinf(tmax)
+    np.testing.assert_array_equal(blocked_pal[live], blocked_brу[live])
+    assert not blocked_pal[~live].any()
