@@ -206,6 +206,8 @@ def pack_scene(scene: SceneData, leaf_size: int = LEAF_SIZE) -> ScenePack:
         mat_table=jnp.asarray(mat_table),
         light_table=jnp.asarray(light_table),
         n_lights_f=jnp.float32(n_lights),
+        scene_bmin=jnp.asarray(bvh.bmin[0]),
+        scene_bmax=jnp.asarray(bvh.bmax[0]),
         tex_atlas=jnp.asarray(atlas),
         tex_size=jnp.asarray(sizes, jnp.int32),
         bvh=BvhPack(

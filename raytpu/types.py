@@ -101,6 +101,9 @@ class ScenePack:
     # textures: padded atlas, normalized like Rgba8Unorm reads
     tex_atlas: Any  # [Tx, maxH, maxW, 4] f32
     tex_size: Any  # [Tx, 2] i32 (width, height)
+    # world bounds (BVH root box) — ray-sorting keys quantise against these
+    scene_bmin: Any  # [3] f32
+    scene_bmax: Any  # [3] f32
     # software acceleration structure
     bvh: BvhPack
     # static: False when the scene has no textures at all, which lets the
