@@ -506,7 +506,8 @@ def render_tile(
         else:
             color, rng = _trace_paths(
                 pack, closest, any_hit, ro, rd, rng, config.bounces,
-                mask=in_grid, sort_bounced=packet_mode,
+                mask=in_grid,
+                sort_bounced=packet_mode and pack.n_triangles > 4096,
             )
         return rng, acc + color
 
@@ -557,7 +558,8 @@ def _count_tile(pack, camera, y0, config, tile_h, valid_rows):
         # _trace_paths counts the primary query itself (its n_rays init)
         _, rng, n = _trace_paths(
             pack, closest, any_hit, ro, rd, rng, config.bounces,
-            count_mask=in_grid, mask=in_grid, sort_bounced=packet_mode,
+            count_mask=in_grid, mask=in_grid,
+            sort_bounced=packet_mode and pack.n_triangles > 4096,
         )
         return rng, total + n
 

@@ -235,18 +235,29 @@ def packet_query(
     r = rox.shape[0]
     assert r % PACKET == 0
     n_pk = r // PACKET
-    ppb = math.gcd(n_pk, PACKETS_PER_BLOCK)
+    # Mosaic requires the block's sublane dim to divide by 8 (or equal the
+    # array dim): pad the packet count with dead packets (tmax = -inf, one
+    # stack pop each)
+    ppb = min(PACKETS_PER_BLOCK, -(-n_pk // 8) * 8)
+    n_pad = -(-n_pk // ppb) * ppb
     kernel = functools.partial(_packet_kernel, tmin=tmin, any_hit=any_hit)
     rspec = pl.BlockSpec(
         (ppb, PACKET), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    args2d = [
-        a.reshape(n_pk, PACKET)
-        for a in (rox, roy, roz, rdx, rdy, rdz, tmax)
-    ]
+
+    def to2d(a, fill):
+        a = a.reshape(n_pk, PACKET)
+        if n_pad != n_pk:
+            pad = jnp.full((n_pad - n_pk, PACKET), fill, a.dtype)
+            a = jnp.concatenate([a, pad])
+        return a
+
+    args2d = [to2d(a, 0.0) for a in (rox, roy, roz)]
+    args2d += [to2d(a, 1.0) for a in (rdx, rdy, rdz)]
+    args2d.append(to2d(tmax, -jnp.inf))
     t, tri = pl.pallas_call(
         kernel,
-        grid=(n_pk // ppb,),
+        grid=(n_pad // ppb,),
         in_specs=[
             pl.BlockSpec(
                 node8_rows.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -258,13 +269,18 @@ def packet_query(
         + [rspec] * 7,
         out_specs=[rspec, rspec],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pk, PACKET), jnp.float32),
-            jax.ShapeDtypeStruct((n_pk, PACKET), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, PACKET), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, PACKET), jnp.int32),
         ],
         scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        # the default scoped-vmem limit (16MB) rejects large resident
+        # scenes; v5e has 128MB of VMEM — leave headroom for ray blocks
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
         interpret=interpret,
     )(node8_rows, leaf_tris, *args2d)
-    return t.reshape(r), tri.reshape(r)
+    return t[:n_pk].reshape(r), tri[:n_pk].reshape(r)
 
 
 def vmem_budget_ok(pack, budget_bytes: int = 100 * 1024 * 1024) -> bool:

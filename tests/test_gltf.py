@@ -145,3 +145,17 @@ def test_unknown_extension_rejected(tmp_path):
     path.write_text("nope")
     with pytest.raises(raytpu.GltfError, match="recognize"):
         raytpu.load_scene(str(path))
+
+
+def test_gltf_plus_bin_roundtrip(tmp_path):
+    """.gltf + sibling .bin path (src/main.rs:148-188)."""
+    b = GlbBuilder()
+    m = b.add_material(color=(0.1, 0.2, 0.3, 1))
+    pos, nrm, uv, idx = quad()
+    b.add_node(mesh=b.add_mesh([(pos, nrm, uv, idx, m, np.uint16)]))
+    path = tmp_path / "scene.gltf"
+    b.write_gltf(str(path))
+    assert (tmp_path / "scene.bin").exists()
+    s = raytpu.load_scene(str(path))
+    assert s.vertex_pos.shape == (4, 3)
+    np.testing.assert_allclose(s.mat_color[0][:3], [0.1, 0.2, 0.3])

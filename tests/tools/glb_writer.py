@@ -219,6 +219,27 @@ class GlbBuilder:
         with open(path, "wb") as f:
             f.write(self.to_glb())
 
+    def write_gltf(self, path: str) -> None:
+        """Write as .gltf JSON + sibling .bin (the reference resolves the
+        binary as <stem>.bin, src/main.rs:149)."""
+        import os
+
+        glb = self.to_glb()
+        # reuse to_glb's document, but point the buffer at the .bin file
+        doc_len = struct.unpack_from("<I", glb, 12)[0]
+        doc = json.loads(glb[20 : 20 + doc_len])
+        bin_path = os.path.splitext(path)[0] + ".bin"
+        doc["buffers"] = [
+            {
+                "byteLength": len(self.bin),
+                "uri": os.path.basename(bin_path),
+            }
+        ]
+        with open(path, "w") as f:
+            json.dump(doc, f)
+        with open(bin_path, "wb") as f:
+            f.write(bytes(self.bin))
+
 
 def quad(size=1.0, z=0.0):
     """Unit XY quad at depth z: positions, normals, uvs, indices."""
