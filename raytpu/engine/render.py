@@ -241,7 +241,7 @@ def _trace_paths(
     n_lights_f = pack.n_lights_f
     NEG_INF = jnp.float32(-jnp.inf)
 
-    def bounce_step(carry, use_sort=False):
+    def bounce_step(carry, use_sort=False, use_sort_shadow=False):
         ro, rd, rng, radiance, attenuation, alive = carry
         # dead lanes get tmax = -inf: no path may produce hits for them
         # (and the packet kernel drops them from box tests entirely)
@@ -350,7 +350,7 @@ def _trace_paths(
         dist = _norm3(to_light)
         ldir = to_light / dist[:, None]
         shadow_tmax = jnp.where(bounce_on, dist, NEG_INF)
-        if use_sort:
+        if use_sort_shadow:
             blocked = _sorted_query(
                 any_hit, pack, p, ldir, jnp.float32(0.0), shadow_tmax,
                 bounce_on, False,
@@ -371,8 +371,13 @@ def _trace_paths(
     carry = (ro, rd, rng, radiance, attenuation, alive)
     for b in range(bounces):
         # bounce rays scatter after the first hit: sort them for packet
-        # coherence (primary and first-shadow waves are already coherent)
-        step = partial(bounce_step, use_sort=sort_bounced and b >= 1)
+        # coherence. Shadow rays sort at every level — even bounce 0 mixes
+        # up to n_lights direction clusters per packet.
+        step = partial(
+            bounce_step,
+            use_sort=sort_bounced and b >= 1,
+            use_sort_shadow=sort_bounced,
+        )
         # skip entire bounces once every lane has terminated
         carry = jax.lax.cond(jnp.any(carry[5]), step, lambda c: c, carry)
         if n_rays is not None:

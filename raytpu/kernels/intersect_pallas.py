@@ -93,6 +93,13 @@ def _one_packet(
     NEGX = IDX < 0.0
     NEGY = IDY < 0.0
     NEGZ = IDZ < 0.0
+    # packet means for near-first child ordering
+    MOX = jnp.sum(ROX) * (1.0 / 1024.0)
+    MOY = jnp.sum(ROY) * (1.0 / 1024.0)
+    MOZ = jnp.sum(ROZ) * (1.0 / 1024.0)
+    MDX = jnp.sum(RDX) * (1.0 / 1024.0)
+    MDY = jnp.sum(RDY) * (1.0 / 1024.0)
+    MDZ = jnp.sum(RDZ) * (1.0 / 1024.0)
 
     def slab(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz, limit):
         """Direction-sign slab test. Deliberately does NOT order-normalise
@@ -174,7 +181,9 @@ def _one_packet(
             limit = jnp.where(best_tri >= 0, -jnp.inf, TMAX)
         else:
             limit = best_t
-        for k in range(BVH8_WIDTH):  # static unroll over the 8 children
+        # pass 1: slab-test all 8 children; record links and near-priority
+        links, anys, leafs, prios = [], [], [], []
+        for k in range(BVH8_WIDTH):
             c = 16 * k
             link = lax.bitcast_convert_type(
                 nrow[c + 6 : c + 7], jnp.int32
@@ -184,22 +193,46 @@ def _one_packet(
                 nrow[c + 3], nrow[c + 4], nrow[c + 5],
                 limit,
             )
-            hit_any = jnp.any(hit)
-            is_leaf = link < 0
+            cx = (nrow[c + 0] + nrow[c + 3]) * 0.5
+            cy = (nrow[c + 1] + nrow[c + 4]) * 0.5
+            cz = (nrow[c + 2] + nrow[c + 5]) * 0.5
+            prio = (cx - MOX) * MDX + (cy - MOY) * MDY + (cz - MOZ) * MDZ
+            links.append(link)
+            anys.append(jnp.any(hit))
+            leafs.append(link < 0)
+            prios.append(prio)
 
-            push = hit_any & jnp.logical_not(is_leaf)
+        lo = prios[0]
+        hi = prios[0]
+        for k in range(1, BVH8_WIDTH):
+            lo = jnp.minimum(lo, prios[k])
+            hi = jnp.maximum(hi, prios[k])
+        pivot = (lo + hi) * 0.5
 
-            @pl.when(push)
-            def _():
-                stack_ref[sp] = link
+        # pass 2: push far interior children first, near last (popped first)
+        for far in (True, False):
+            for k in range(BVH8_WIDTH):
+                in_bucket = (prios[k] > pivot) if far else (prios[k] <= pivot)
+                push = anys[k] & jnp.logical_not(leafs[k]) & in_bucket
+                link = links[k]
 
-            sp = sp + push.astype(jnp.int32)
-            best_t, best_tri = lax.cond(
-                hit_any & is_leaf,
-                lambda bt, bi: leaf_test(~link, bt, bi),
-                lambda bt, bi: (bt, bi),
-                best_t, best_tri,
-            )
+                @pl.when(push)
+                def _():
+                    stack_ref[sp] = link
+
+                sp = sp + push.astype(jnp.int32)
+
+        # pass 3: leaf tests, near bucket first (shrinks best_t sooner)
+        for far in (False, True):
+            for k in range(BVH8_WIDTH):
+                in_bucket = (prios[k] > pivot) if far else (prios[k] <= pivot)
+                link = links[k]
+                best_t, best_tri = lax.cond(
+                    anys[k] & leafs[k] & in_bucket,
+                    lambda bt, bi, link=link: leaf_test(~link, bt, bi),
+                    lambda bt, bi: (bt, bi),
+                    best_t, best_tri,
+                )
         return sp, best_t, best_tri
 
     stack_ref[0] = jnp.int32(0)
