@@ -336,6 +336,35 @@ def build_bvh(
             rows[:, 16 * k + 6] = np.int32(~0).view(np.float32)
         return threaded, Bvh8Arrays(node_rows=rows, n_leaf_rows=1)
 
+    # production path: the native C++ builder (raytpu/native); the Python
+    # build below is the readable fallback/reference (~100x slower)
+    from ..native import native_build_bvh
+
+    native = native_build_bvh(tri_p0, tri_e1, tri_e2, leaf_size)
+    if native is not None:
+        nodes, wide, order = native
+        miss = nodes[:, 6].view(np.int32).copy()
+        leaf_row = nodes[:, 7].view(np.int32)
+        leaf_first = np.where(
+            leaf_row >= 0, leaf_row * leaf_size, -1
+        ).astype(np.int32)
+        per_leaf = (order.reshape(-1, leaf_size) >= 0).sum(axis=1)
+        leaf_count = np.where(
+            leaf_row >= 0, per_leaf[np.maximum(leaf_row, 0)], 0
+        ).astype(np.int32)
+        threaded = BvhArrays(
+            bmin=nodes[:, 0:3].copy(),
+            bmax=nodes[:, 3:6].copy(),
+            miss=miss,
+            leaf_first=leaf_first,
+            leaf_count=leaf_count,
+            tri_order=order,
+            leaf_size=leaf_size,
+        )
+        return threaded, Bvh8Arrays(
+            node_rows=wide, n_leaf_rows=order.shape[0] // leaf_size
+        )
+
     tree = _BinaryTree(tri_p0, tri_e1, tri_e2, leaf_size)
     return _emit_threaded(tree), _emit_bvh8(tree)
 

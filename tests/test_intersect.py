@@ -227,3 +227,75 @@ def test_packet_kernel_matches_bruteforce_interpret():
     live = ~np.isinf(tmax)
     np.testing.assert_array_equal(blocked_pal[live], blocked_brу[live])
     assert not blocked_pal[~live].any()
+
+
+def test_native_builder_matches_python_renders():
+    """The C++ builder (raytpu/native) may tie-break SAH splits differently
+    from the Python reference builder, but any valid BVH must produce the
+    same intersections."""
+    import raytpu.native as rn
+    from raytpu.accel.bvh import validate_bvh8
+
+    if not rn.native_available():
+        pytest.skip("no native toolchain")
+
+    rng = np.random.default_rng(3)
+    a, b, c = _random_soup(500, rng)
+    p0, e1, e2 = a, b - a, c - a
+
+    bvh_n, bvh8_n = build_bvh(p0, e1, e2)
+    validate_bvh(bvh_n, 500)
+    validate_bvh8(bvh8_n, 500)
+
+    # force the Python builder
+    lib, tried = rn._LIB, rn._TRIED
+    rn._LIB, rn._TRIED = None, True
+    try:
+        bvh_p, bvh8_p = build_bvh(p0, e1, e2)
+    finally:
+        rn._LIB, rn._TRIED = lib, tried
+    validate_bvh(bvh_p, 500)
+
+    def traversal_t(bvh_arrays):
+        order = bvh_arrays.tri_order
+        n_slots = -(-max(int(order.shape[0]), LEAF_SIZE) // LEAF_SIZE) * (
+            LEAF_SIZE
+        )
+
+        def scat(arr):
+            out = np.zeros((n_slots,) + arr.shape[1:], arr.dtype)
+            valid = order >= 0
+            out[: order.shape[0]][valid] = arr[order[valid]]
+            return out
+
+        rp0, re1, re2 = scat(p0), scat(e1), scat(e2)
+        nodes = np.zeros((bvh_arrays.n_nodes, 8), np.float32)
+        nodes[:, 0:3] = bvh_arrays.bmin
+        nodes[:, 3:6] = bvh_arrays.bmax
+        nodes[:, 6] = bvh_arrays.miss.astype(np.int32).view(np.float32)
+        leaf_row = np.where(
+            bvh_arrays.leaf_first >= 0,
+            bvh_arrays.leaf_first // LEAF_SIZE, -1,
+        ).astype(np.int32)
+        nodes[:, 7] = leaf_row.view(np.float32)
+        per_tri = np.concatenate(
+            [rp0, re1, re2, np.zeros((n_slots, 1), np.float32)], axis=1
+        )
+        leaf_tris = per_tri.reshape(n_slots // LEAF_SIZE, LEAF_SIZE * 10)
+        bp = BvhPack(
+            nodes=jnp.asarray(nodes),
+            node8_rows=jnp.zeros((1, 128)),
+            leaf_tris=jnp.asarray(leaf_tris),
+        )
+        r = 256
+        rr = np.random.default_rng(9)
+        ro = jnp.asarray(rr.uniform(-8, 8, (r, 3)).astype(np.float32))
+        d = rr.normal(size=(r, 3)).astype(np.float32)
+        rd = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+        return np.asarray(
+            intersect_bvh(ro, rd, bp, 0.001, F32_MAX, leaf_size=LEAF_SIZE).t
+        )
+
+    np.testing.assert_allclose(
+        traversal_t(bvh_n), traversal_t(bvh_p), rtol=1e-6
+    )
