@@ -108,3 +108,17 @@ def test_checkpoint_partial_resume(tmp_path, cube_scene, cube_camera):
 
     resumed = render_with_checkpoint(pack, cam, cfg, ckpt)
     np.testing.assert_array_equal(resumed, full)
+
+
+def test_devices_flag_shards_across_mesh(tmp_path):
+    out = tmp_path / "sharded.png"
+    rc = main([
+        "--width", "32", "--height", "32", "--seed", "1",
+        "--scene", "/root/reference/cube.glb",
+        "--chunk-size", "16", "--samples", "1", "--bounces", "2",
+        "--camera", "/root/reference/camera.json",
+        "--output", str(out), "--devices", "4",
+    ])
+    assert rc == 0
+    img = np.asarray(Image.open(out))
+    assert img.shape == (32, 32, 3) and img.max() > 0
