@@ -13,9 +13,10 @@ This is the TPU-native replacement for the reference's WGSL megakernel
 * the bounce loop is a static Python unroll (``bounces`` is a compile-time
   constant) and each iteration is wrapped in ``lax.cond`` so bounces where
   every lane has died cost nothing;
-* per-hit data comes from exactly two wide row gathers (tri_shade +
-  tri_geo; see raytpu.types), with single-material / single-object /
-  single-light scenes specialised statically to zero extra gathers;
+* per-hit data comes from exactly ONE wide row gather (tri_row packs
+  geometry, corner attributes, material and object transform per
+  triangle; see raytpu.types), with single-light scenes skipping the
+  light gather statically;
 * samples are accumulated serially per pixel (``lax.fori_loop``) because the
   reference's RNG state carries across samples (src/shader.wgsl:412-414).
 
@@ -102,51 +103,64 @@ def cast_rays(px_f, py_f, world, projection, width: int, height: int):
 
 
 def _shade_inputs(pack: ScenePack, ro, rd, hit):
-    """Decode the winning triangle: interpolated object-space pos / normal /
-    uv plus material and object ids, from two fused row gathers
-    (the shader's 5-level chain, src/shader.wgsl:259-293)."""
+    """Decode the winning triangle from ONE fused tri_row gather: world
+    geometry (barycentric recompute — bit-identical to the in-sweep
+    values), interpolated object-space pos / normal / uv, the material
+    parameters, and the object's linear transform (the shader's 5-level
+    gather chain plus material/object fetches, src/shader.wgsl:259-293)."""
     tri = jnp.maximum(hit.tri, 0)
-    u, v = barycentrics(ro, rd, pack.tri_geo, hit.tri)
-    row = pack.tri_shade[tri]  # [R,32]
+    row = pack.tri_row[tri]  # [R,64]
+    u, v = barycentrics(ro, rd, row)
     w0 = (1.0 - u - v)[:, None]
     wu = u[:, None]
     wv = v[:, None]
-    pos = row[:, 0:3] * w0 + row[:, 3:6] * wu + row[:, 6:9] * wv
-    normal = row[:, 9:12] * w0 + row[:, 12:15] * wu + row[:, 15:18] * wv
-    uv = row[:, 18:20] * w0 + row[:, 20:22] * wu + row[:, 22:24] * wv
-    mat_id = jax.lax.bitcast_convert_type(row[:, 24], jnp.int32)
-    obj_id = jax.lax.bitcast_convert_type(row[:, 25], jnp.int32)
-    return pos, normal, uv, mat_id, obj_id
-
-
-def _material_rows(pack: ScenePack, mat_id):
-    """Material parameters; single-material scenes skip the gather."""
+    pos = row[:, 9:12] * w0 + row[:, 12:15] * wu + row[:, 15:18] * wv
+    normal = row[:, 18:21] * w0 + row[:, 21:24] * wu + row[:, 24:27] * wv
+    uv = row[:, 27:29] * w0 + row[:, 29:31] * wu + row[:, 31:33] * wv
     if pack.n_materials == 1:
-        row = jnp.broadcast_to(pack.mat_table[0], (mat_id.shape[0], 16))
+        # single-material scenes read broadcast constants so XLA folds the
+        # material branches away entirely (emissive/metal tests, textures)
+        mrow = pack.mat_table[0]
+        r = row.shape[0]
+        mat = dict(
+            metallic=jnp.broadcast_to(mrow[0], (r,)),
+            emission=jnp.broadcast_to(mrow[2], (r,)),
+            ior=jnp.broadcast_to(mrow[3], (r,)),
+            tex_id=jnp.broadcast_to(
+                jax.lax.bitcast_convert_type(mrow[4], jnp.int32), (r,)
+            ),
+            has_tex=jnp.broadcast_to(
+                jax.lax.bitcast_convert_type(mrow[5], jnp.int32) == 1, (r,)
+            ),
+            color=jnp.broadcast_to(mrow[8:12], (r, 4)),
+        )
     else:
-        row = pack.mat_table[mat_id]
-    metallic = row[:, 0]
-    emission = row[:, 2]
-    ior = row[:, 3]
-    tex_id = jax.lax.bitcast_convert_type(row[:, 4], jnp.int32)
-    has_tex = jax.lax.bitcast_convert_type(row[:, 5], jnp.int32) == 1
-    color = row[:, 8:12]
-    return metallic, emission, ior, tex_id, has_tex, color
+        mat = dict(
+            metallic=row[:, 42],
+            emission=row[:, 43],
+            ior=row[:, 44],
+            tex_id=jax.lax.bitcast_convert_type(row[:, 45], jnp.int32),
+            has_tex=jax.lax.bitcast_convert_type(row[:, 46], jnp.int32) == 1,
+            color=row[:, 47:51],
+        )
+    return pos, normal, uv, mat, row
 
 
-def _apply_linear(pack: ScenePack, obj_id, pos):
+def _apply_linear(pack, row, pos):
     """p = (object_to_world * vec4(pos, 0)).xyz — only the 3x3 part
-    (src/shader.wgsl:345); single-object scenes skip the gather. Explicit
-    mat-vec keeps f32 association identical across backends."""
+    (src/shader.wgsl:345), baked per triangle in tri_row cols 33:42;
+    single-object scenes use broadcast constants (XLA folds identity
+    transforms to a no-op). Explicit mat-vec keeps f32 association
+    identical across backends."""
     if pack.n_objects == 1:
-        lin = jnp.broadcast_to(pack.object_linear[0], (pos.shape[0], 16))
+        lin = [pack.object_linear[0, i] for i in range(9)]
     else:
-        lin = pack.object_linear[obj_id]
+        lin = [row[:, 33 + i] for i in range(9)]
     return jnp.stack(
         [
-            lin[:, 3 * i + 0] * pos[:, 0]
-            + lin[:, 3 * i + 1] * pos[:, 1]
-            + lin[:, 3 * i + 2] * pos[:, 2]
+            lin[3 * i + 0] * pos[:, 0]
+            + lin[3 * i + 1] * pos[:, 1]
+            + lin[3 * i + 2] * pos[:, 2]
             for i in range(3)
         ],
         axis=-1,
@@ -254,17 +268,16 @@ def _trace_paths(
             hit = closest(ro, rd, jnp.float32(0.001), tmax)
         active = alive & hit.valid
 
-        pos, normal, uv, mat_id, obj_id = _shade_inputs(pack, ro, rd, hit)
-        metallic, emission, ior, tex_id, has_tex, m_color = _material_rows(
-            pack, mat_id
-        )
+        pos, normal, uv, mat, row = _shade_inputs(pack, ro, rd, hit)
+        metallic, emission, ior = mat["metallic"], mat["emission"], mat["ior"]
+        tex_id, has_tex, m_color = mat["tex_id"], mat["has_tex"], mat["color"]
 
         # face-forward normal (src/shader.wgsl:339-343)
         front = _dot3(rd, normal) < 0.0
         normal = jnp.where(front[:, None], normal, -normal)
 
         # hit point with the w=0 translation-dropping quirk (:345)
-        p = _apply_linear(pack, obj_id, pos) + normal * F32_EPSILON
+        p = _apply_linear(pack, row, pos) + normal * F32_EPSILON
 
         # base colour: bilinear texture or factor (:349-353)
         if pack.has_textures:
@@ -394,13 +407,13 @@ def _flat_shade(pack: ScenePack, closest, ro, rd):
     """raytpu extension: primary-hit base colour (BASELINE config 1).
     Not a reference mode; used for intersection benchmarks and debugging."""
     hit = closest(ro, rd, jnp.float32(0.001), F32_MAX)
-    _, _, uv, mat_id, _ = _shade_inputs(pack, ro, rd, hit)
-    _, _, _, tex_id, has_tex, m_color = _material_rows(pack, mat_id)
+    _, _, uv, mat, _ = _shade_inputs(pack, ro, rd, hit)
     if pack.has_textures:
-        tex = sample_bilinear(pack.tex_atlas, pack.tex_size, tex_id, uv)
-        color = jnp.where(has_tex[:, None], tex, m_color)
+        tex = sample_bilinear(pack.tex_atlas, pack.tex_size, mat["tex_id"],
+                              uv)
+        color = jnp.where(mat["has_tex"][:, None], tex, mat["color"])
     else:
-        color = m_color
+        color = mat["color"]
     return jnp.where(hit.valid[:, None], color, 0.0)
 
 

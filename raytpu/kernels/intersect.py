@@ -81,10 +81,11 @@ def moller_trumbore(ro, rd, p0, e1, e2, tmin, tmax):
     return t, u, v, hit
 
 
-def barycentrics(ro, rd, tri_geo, tri):
-    """(u, v) of each ray's winning triangle, recomputed from one fused
-    tri_geo row gather. Bit-identical to the sweep's internal values."""
-    geo = tri_geo[jnp.maximum(tri, 0)]  # [R,12]
+def barycentrics(ro, rd, geo_rows):
+    """(u, v) of each ray's winning triangle, recomputed from the already
+    gathered per-hit rows (world p0/e1/e2 in columns 0:9). Bit-identical to
+    the sweep's internal values."""
+    geo = geo_rows
     p0 = geo[:, 0:3]
     e1 = geo[:, 3:6]
     e2 = geo[:, 6:9]

@@ -127,16 +127,16 @@ def pack_scene(scene: SceneData, leaf_size: int = LEAF_SIZE) -> ScenePack:
     tri_material = scatter(mat)
     tri_object = scatter(obj)
 
-    # --- fused rows ---
+    # --- fused shade row: one gather per hit (see raytpu.types) ---
+    # col layout: 0:9 world p0/e1/e2; 9:18 object-space corner positions;
+    # 18:27 corner normals; 27:33 corner uvs; 33:42 object 3x3 linear;
+    # 42 metallic, 43 emission, 44 ior, 45 texture id (bitcast),
+    # 46 has_texture (bitcast); 47:51 material colour rgba
     t_cnt = n_slots
-    tri_geo = np.zeros((t_cnt, 12), np.float32)
-    tri_geo[:, 0:3] = tri_p0
-    tri_geo[:, 3:6] = tri_e1
-    tri_geo[:, 6:9] = tri_e2
-
-    # tri_shade: object-space corner positions(9), normals(9), uvs(6),
-    # bitcast material id, bitcast object id -> 26, padded to 32
-    tri_shade = np.zeros((t_cnt, 32), np.float32)
+    tri_row = np.zeros((t_cnt, 64), np.float32)
+    tri_row[:, 0:3] = tri_p0
+    tri_row[:, 3:6] = tri_e1
+    tri_row[:, 6:9] = tri_e2
     vp = scene.vertex_pos if scene.vertex_pos.size else np.zeros((1, 3), np.float32)
     vn = (
         scene.vertex_normal if scene.vertex_normal.size
@@ -145,11 +145,22 @@ def pack_scene(scene: SceneData, leaf_size: int = LEAF_SIZE) -> ScenePack:
     vt = scene.vertex_uv if scene.vertex_uv.size else np.zeros((1, 2), np.float32)
     for k in range(3):
         ids = tri_vi[:, k]
-        tri_shade[:, 3 * k : 3 * k + 3] = vp[ids]
-        tri_shade[:, 9 + 3 * k : 12 + 3 * k] = vn[ids]
-        tri_shade[:, 18 + 2 * k : 20 + 2 * k] = vt[ids]
-    tri_shade[:, 24] = _bitcast_i32_to_f32(tri_material)
-    tri_shade[:, 25] = _bitcast_i32_to_f32(tri_object)
+        tri_row[:, 9 + 3 * k : 12 + 3 * k] = vp[ids]
+        tri_row[:, 18 + 3 * k : 21 + 3 * k] = vn[ids]
+        tri_row[:, 27 + 2 * k : 29 + 2 * k] = vt[ids]
+    if scene.n_objects:
+        lin9 = scene.object_transform[:, :3, :3].reshape(-1, 9)
+        tri_row[:, 33:42] = lin9[np.clip(tri_object, 0, scene.n_objects - 1)]
+    else:
+        tri_row[:, [33, 37, 41]] = 1.0
+    if scene.mat_metallic.shape[0]:
+        mid = np.clip(tri_material, 0, scene.mat_metallic.shape[0] - 1)
+        tri_row[:, 42] = scene.mat_metallic[mid]
+        tri_row[:, 43] = scene.mat_emission[mid]
+        tri_row[:, 44] = scene.mat_ior[mid]
+        tri_row[:, 45] = _bitcast_i32_to_f32(scene.mat_texture[mid])
+        tri_row[:, 46] = _bitcast_i32_to_f32(scene.mat_has_texture[mid])
+        tri_row[:, 47:51] = scene.mat_color[mid]
 
     # BVH fused node rows + leaf rows
     n_nodes = bvh.n_nodes
@@ -200,8 +211,7 @@ def pack_scene(scene: SceneData, leaf_size: int = LEAF_SIZE) -> ScenePack:
         tri_p0=jnp.asarray(tri_p0),
         tri_e1=jnp.asarray(tri_e1),
         tri_e2=jnp.asarray(tri_e2),
-        tri_geo=jnp.asarray(tri_geo),
-        tri_shade=jnp.asarray(tri_shade),
+        tri_row=jnp.asarray(tri_row),
         object_linear=jnp.asarray(obj_linear),
         mat_table=jnp.asarray(mat_table),
         light_table=jnp.asarray(light_table),

@@ -6,11 +6,16 @@ every per-hit lookup is **one wide row gather** (row-gather cost on TPU is
 flat in row width up to ~128 floats, so tables pack all the data a kernel
 step needs into a single row):
 
-* ``tri_geo``   [T, 12]  world-space p0/e1/e2 (+pad) — barycentric recompute
-* ``tri_shade`` [T, 32]  object-space positions/normals/uvs of the 3 corner
-                         vertices + material/object ids — replaces the
-                         shader's 5-level gather chain (src/shader.wgsl:259-293)
+* ``tri_row``   [T, 64]  EVERYTHING the shade phase needs for one hit in a
+                         single gather: world p0/e1/e2 (barycentric
+                         recompute), object-space corner pos/normal/uv,
+                         the triangle's material parameters and colour,
+                         and the object's 3x3 linear transform — replacing
+                         the shader's 5-level gather chain
+                         (src/shader.wgsl:259-293) plus its material and
+                         object fetches
 * ``mat_table`` [M, 16]  metallic/roughness/emission/ior/texture ids + rgba
+                         (kept for inspection/tools; shading reads tri_row)
 * ``light_table``[L, 8]  position + color
 * ``bvh.nodes`` [N, 8]   bmin, bmax, miss link, leaf row (bitcast int32)
 * ``bvh.leaf_tris`` [Nl, 40]  4 triangles x (p0,e1,e2,pad) world space
@@ -85,9 +90,8 @@ class ScenePack:
     tri_p0: Any  # [T,3] f32
     tri_e1: Any  # [T,3] f32
     tri_e2: Any  # [T,3] f32
-    # fused per-triangle rows (see module docstring)
-    tri_geo: Any  # [T,12] f32
-    tri_shade: Any  # [T,32] f32
+    # fused per-triangle shade row (see module docstring)
+    tri_row: Any  # [T,64] f32
     # per-object linear transform rows (w=0 quirk needs only the 3x3 part,
     # src/shader.wgsl:345)
     object_linear: Any  # [O,16] f32 (3x3 row-major + pad)

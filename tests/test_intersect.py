@@ -161,13 +161,13 @@ def test_barycentrics_recompute_matches_direct():
     n_slots = rp0.shape[0]
     tri_geo = jnp.concatenate(
         [rp0, re1, re2, jnp.zeros((n_slots, 3))], axis=1
-    )
+    )  # geo rows: world p0/e1/e2 in cols 0:9
     n_rays = 64
     ro = jnp.asarray(rng.uniform(-8, 8, (n_rays, 3)).astype(np.float32))
     d = rng.normal(size=(n_rays, 3)).astype(np.float32)
     rd = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
     hit = intersect_bruteforce(ro, rd, rp0, re1, re2, 0.001, F32_MAX)
-    u, v = barycentrics(ro, rd, tri_geo, hit.tri)
+    u, v = barycentrics(ro, rd, tri_geo[np.maximum(np.asarray(hit.tri), 0)])
     # direct per-winning-triangle evaluation
     tri = np.maximum(np.asarray(hit.tri), 0)
     t2, u2, v2, _ = moller_trumbore(
