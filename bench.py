@@ -160,6 +160,60 @@ def bench_config(name, pack, cam, cfg, repeats=3):
     return mrays, dt * 1000.0
 
 
+def _build_multi_mesh_glb(path):
+    """BASELINE config 3 fixture: a multi-mesh GLB (instanced boxes over a
+    floor) rendered through the real loader + BVH path."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.tools.glb_writer import GlbBuilder, box, quad
+
+    b = GlbBuilder()
+    floor_m = b.add_material(color=(0.6, 0.6, 0.6, 1))
+    mats = [
+        b.add_material(color=(0.8, 0.3, 0.3, 1)),
+        b.add_material(color=(0.3, 0.8, 0.3, 1), metallic=1.0),
+        b.add_material(color=(0.3, 0.3, 0.9, 1), ior=1.5),
+    ]
+    pos, nrm, uv, idx = quad(size=20.0)
+    b.add_node(mesh=b.add_mesh([(pos, nrm, uv, idx, floor_m, np.uint16)]),
+               translation=[0, 0, -8])
+    bp, bn, bu, bi = box()
+    meshes = [b.add_mesh([(bp, bn, bu, bi, m, np.uint32)]) for m in mats]
+    import itertools
+    for i, (x, y) in enumerate(itertools.product(range(-4, 5), range(-3, 4))):
+        b.add_node(mesh=meshes[i % 3], translation=[x * 2.5, y * 2.5, 0.0],
+                   scale=[0.8, 0.8, 0.8])
+    b.add_node(light=b.add_light(intensity=60.0), translation=[0, 6, 10])
+    b.add_node(light=b.add_light(color=(1.0, 0.8, 0.6), intensity=40.0),
+               translation=[-6, -6, 10])
+    b.add_node(camera=b.add_camera(1.0, 0.8), translation=[0, 0, 18])
+    b.write(path)
+
+
+def _build_pbr_nee_glb(path):
+    """BASELINE config 4 fixture: PBR metallic-roughness materials +
+    emissive panels, exercising all four material branches and NEE."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.tools.glb_writer import GlbBuilder, box, quad
+
+    b = GlbBuilder()
+    diffuse = b.add_material(color=(0.7, 0.7, 0.7, 1), ior=1.1)
+    metal = b.add_material(color=(0.9, 0.8, 0.6, 1), metallic=1.0)
+    glass = b.add_material(color=(0.9, 0.9, 1.0, 1), ior=1.5)
+    glow = b.add_material(color=(1.0, 0.5, 0.2, 1), emission=6.0)
+    pos, nrm, uv, idx = quad(size=10.0)
+    b.add_node(mesh=b.add_mesh([(pos, nrm, uv, idx, diffuse, np.uint16)]),
+               translation=[0, 0, -4])
+    bp, bn, bu, bi = box()
+    for m, x in ((metal, -3.0), (glass, 0.0), (diffuse, 3.0)):
+        b.add_node(mesh=b.add_mesh([(bp, bn, bu, bi, m, np.uint32)]),
+                   translation=[x, 0, -1.5])
+    b.add_node(mesh=b.add_mesh([(pos, nrm, uv, idx, glow, np.uint16)]),
+               matrix=[0.2, 0, 0, 0, 0, 0.2, 0, 0, 0, 0, 0.2, 0, 0, 4, 0, 1])
+    b.add_node(light=b.add_light(intensity=50.0), translation=[0, 5, 8])
+    b.add_node(camera=b.add_camera(1.0, 0.8), translation=[0, 0, 12])
+    b.write(path)
+
+
 def main():
     quick = "--quick" in sys.argv
 
@@ -176,6 +230,28 @@ def main():
                                bounces=4, chunk_size=64)
     bench_config("cube flat 512x512x1", cube_pack, cube_campk, cfg1)
     bench_config("cube path 512x512x4spp", cube_pack, cube_campk, cfg2)
+
+    # config 3: multi-mesh glTF scene through the BVH path
+    os.makedirs(CACHE, exist_ok=True)
+    multi_path = os.path.join(CACHE, "multi_mesh.glb")
+    if not os.path.exists(multi_path):
+        _build_multi_mesh_glb(multi_path)
+    multi = raytpu.load_scene(multi_path)
+    cfg3 = raytpu.RenderConfig(width=256, height=256, seed=1, samples=2,
+                               bounces=3, chunk_size=32,
+                               bruteforce_max_tris=64)
+    bench_config("multi-mesh 256x256x2spp", pack_scene(multi),
+                 pack_camera(multi.camera), cfg3)
+
+    # config 4: PBR materials + emissive + NEE
+    pbr_path = os.path.join(CACHE, "pbr_nee.glb")
+    if not os.path.exists(pbr_path):
+        _build_pbr_nee_glb(pbr_path)
+    pbr = raytpu.load_scene(pbr_path)
+    cfg4 = raytpu.RenderConfig(width=256, height=256, seed=1, samples=4,
+                               bounces=4, chunk_size=32)
+    bench_config("pbr+nee 256x256x4spp", pack_scene(pbr),
+                 pack_camera(pbr.camera), cfg4)
 
     # config 5 (headline): Sponza-class 1080p wavefront path tracing
     tris = 20_000 if quick else 250_000
