@@ -171,12 +171,13 @@ def build_atrium(target_tris: int = 250_000) -> SceneData:
         t[:3, 3] = [x, 8.5, 0.0]
         add_mesh([(lamp[0], lamp[1], lamp[2], lamp_m)], t)
 
-    # lights: three points high up
+    # lights: three points in the open courtyard volume (below the
+    # awnings at y=6.5, so direct light actually reaches the floor)
     light_transforms, light_colors, light_powers = [], [], []
     for x, c in [(-10.0, (1.0, 0.95, 0.9)), (0.0, (1.0, 1.0, 1.0)),
                  (10.0, (0.9, 0.95, 1.0))]:
         t = np.eye(4, dtype=np.float32)
-        t[:3, 3] = [x, 8.0, 0.0]
+        t[:3, 3] = [x, 4.5, 2.5]
         light_transforms.append(t)
         light_colors.append(list(c) + [0.0])
         light_powers.append(800.0)
