@@ -138,9 +138,20 @@ def bench_config(name, pack, cam, cfg, repeats=3):
     checksum = float(frame1())
     log(f"[bench] {name}: warmup {time.time()-t0:.1f}s "
         f"(checksum {checksum:.1f})")
-    t0 = time.time()
-    rays = count_rays(pack, cam, cfg)
-    log(f"[bench] {name}: ray count {rays/1e6:.2f}M ({time.time()-t0:.1f}s)")
+    # exact ray counts are deterministic per (scene, config): cache them
+    os.makedirs(CACHE, exist_ok=True)
+    count_key = os.path.join(
+        CACHE, f"rays_{name.replace(' ', '_').replace('/', '_')}.txt"
+    )
+    if os.path.exists(count_key):
+        rays = int(open(count_key).read())
+        log(f"[bench] {name}: ray count {rays/1e6:.2f}M (cached)")
+    else:
+        t0 = time.time()
+        rays = count_rays(pack, cam, cfg)
+        open(count_key, "w").write(str(rays))
+        log(f"[bench] {name}: ray count {rays/1e6:.2f}M "
+            f"({time.time()-t0:.1f}s)")
 
     t0 = time.perf_counter()
     float(frame1())

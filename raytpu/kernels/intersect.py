@@ -13,12 +13,12 @@ device paths, both pure XLA (a Pallas packet-traversal variant lives in
 * **Threaded-BVH traversal** — one ``lax.while_loop``. TPU row-gather cost
   is flat in row width, so each step does exactly TWO gathers: one fused
   node row [8] (bmin, bmax, miss, leaf) and, on leaves, one fused leaf row
-  [40] holding 4 triangles.
+  [80] holding LEAF_SIZE (8) triangles.
 
-The intersection record carries (t, triangle slot, valid). Barycentrics are
-NOT returned — ``barycentrics`` recomputes them for the single winning
-triangle (bit-identical to the in-sweep values: same inputs, same f32 ops),
-which avoids three [R, chunk]-shaped row-gathers per query.
+The intersection record carries (t, triangle slot, valid). Barycentrics
+are NOT returned — ``barycentrics`` recomputes them from the winning
+triangle's already-gathered tri_row (bit-identical: same inputs, same f32
+ops), which avoids three [R, chunk]-shaped row-gathers per query.
 
 Ranges are closed, [tmin, tmax], matching acceleration-structure semantics.
 Degenerate padding triangles (e1 = e2 = 0) produce det == 0 and never hit.
