@@ -595,7 +595,9 @@ def _auto_tile_rows(config: RenderConfig, n_tris: int) -> int:
         budget = 1 << 24
         rows = budget // (config.width * min(n_tris, 512))
     else:
-        rows = (1 << 18) // config.width  # BVH path: per-ray state only
+        # BVH/packet path: per-ray state only; bigger tiles amortise sorts
+        # and per-wave overheads (1080p frame: 2.9s -> 2.2s vs 2^18 rays)
+        rows = (1 << 20) // config.width
     return int(np.clip(rows, 1, config.height))
 
 

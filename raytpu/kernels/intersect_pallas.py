@@ -29,7 +29,6 @@ Measured on TPU v5e (vs the XLA while_loop path, bit-equal results):
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
