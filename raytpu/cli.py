@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--devices", type=int, default=1,
         help="shard the frame across this many TPU devices (raytpu extension)",
     )
+    p.add_argument(
+        "--profile", type=str, default=None,
+        help="dump a JAX profiler trace of the render to this directory "
+             "(raytpu extension; view with TensorBoard)",
+    )
     return p
 
 
@@ -84,6 +89,13 @@ def main(argv=None) -> int:
     pack = pack_scene(scene)
     cam = pack_camera(camera)
 
+    profile_ctx = None
+    if args.profile is not None:
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile)
+        profile_ctx.__enter__()
+
     if args.gui:
         from .gui import run_gui
 
@@ -100,6 +112,9 @@ def main(argv=None) -> int:
         from .engine.render import render_frame
 
         frame = render_frame(pack, cam, config)
+
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
 
     if args.output is not None:
         write_png(args.output, frame)

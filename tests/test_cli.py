@@ -122,3 +122,17 @@ def test_devices_flag_shards_across_mesh(tmp_path):
     assert rc == 0
     img = np.asarray(Image.open(out))
     assert img.shape == (32, 32, 3) and img.max() > 0
+
+
+def test_profile_flag_dumps_trace(tmp_path):
+    prof = tmp_path / "trace"
+    rc = main([
+        "--width", "16", "--height", "16", "--seed", "1",
+        "--scene", "/root/reference/cube.glb",
+        "--chunk-size", "8", "--samples", "1", "--bounces", "1",
+        "--camera", "/root/reference/camera.json",
+        "--profile", str(prof),
+    ])
+    assert rc == 0
+    # the profiler writes plugins/profile/<ts>/*.trace.json.gz etc.
+    assert any(prof.rglob("*")), "no trace files written"
