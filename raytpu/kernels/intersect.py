@@ -181,17 +181,23 @@ def intersect_any_bruteforce(
 
 
 def _slab_test(bmin, bmax, ro, inv_d, tmin, tmax):
-    """Ray-AABB slab test; robust to inv_d = ±inf (axis-parallel rays)."""
+    """Ray-AABB slab test. Callers pre-clamp zero direction components to
+    +/-tiny (see safe_inv_dir) so 0 * inf NaNs cannot appear."""
     t0 = (bmin - ro) * inv_d
     t1 = (bmax - ro) * inv_d
     lo = jnp.minimum(t0, t1)
     hi = jnp.maximum(t0, t1)
-    # NaNs (0 * inf) must not poison the min/max
-    lo = jnp.where(jnp.isnan(lo), -jnp.inf, lo)
-    hi = jnp.where(jnp.isnan(hi), jnp.inf, hi)
     near = jnp.maximum(lo.max(axis=-1), tmin)
     far = jnp.minimum(hi.min(axis=-1), tmax)
     return near <= far
+
+
+def safe_inv_dir(rd):
+    """1/direction with exactly-zero components clamped to +/-1e-36: keeps
+    slab intervals NaN-free with unchanged accept/reject for tmin >= 0."""
+    tiny = jnp.float32(1e-36)
+    safe = jnp.where(rd == 0.0, jnp.where(1.0 / rd < 0.0, -tiny, tiny), rd)
+    return 1.0 / safe
 
 
 def intersect_bvh(
@@ -211,7 +217,7 @@ def intersect_bvh(
     may be per-ray. Returns Hit (closest) or bool blocked (any_hit)."""
     r = ro.shape[0]
     tmax_r = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
-    inv_d = 1.0 / rd
+    inv_d = safe_inv_dir(rd)
     nodes = bvh.nodes
     leaf_tris = bvh.leaf_tris
 

@@ -86,9 +86,20 @@ def _one_packet(
     RDY = rdy_ref[pk].reshape(8, 128)
     RDZ = rdz_ref[pk].reshape(8, 128)
     TMAX = tmax_ref[pk].reshape(8, 128)
-    IDX = 1.0 / RDX
-    IDY = 1.0 / RDY
-    IDZ = 1.0 / RDZ
+    # clamp exactly-zero direction components to +/-tiny: 0*inf NaNs can
+    # then never appear in the slab test, so its per-axis NaN guards go
+    # away (box accept/reject is unchanged: the substituted +/-1e36-scale
+    # interval bounds resolve every comparison the same way for tmin >= 0)
+    TINY = 1e-36
+
+    def _safe(d):
+        return jnp.where(
+            d == 0.0, jnp.where(1.0 / d < 0.0, -TINY, TINY), d
+        )
+
+    IDX = 1.0 / _safe(RDX)
+    IDY = 1.0 / _safe(RDY)
+    IDZ = 1.0 / _safe(RDZ)
     NEGX = IDX < 0.0
     NEGY = IDY < 0.0
     NEGZ = IDZ < 0.0
@@ -110,14 +121,6 @@ def _one_packet(
         hiy = (jnp.where(NEGY, bminy, bmaxy) - ROY) * IDY
         loz = (jnp.where(NEGZ, bmaxz, bminz) - ROZ) * IDZ
         hiz = (jnp.where(NEGZ, bminz, bmaxz) - ROZ) * IDZ
-        # NaNs from 0 * inf (axis-parallel ray starting on a slab plane)
-        # must not poison the interval
-        lox = jnp.where(lox != lox, -jnp.inf, lox)
-        loy = jnp.where(loy != loy, -jnp.inf, loy)
-        loz = jnp.where(loz != loz, -jnp.inf, loz)
-        hix = jnp.where(hix != hix, jnp.inf, hix)
-        hiy = jnp.where(hiy != hiy, jnp.inf, hiy)
-        hiz = jnp.where(hiz != hiz, jnp.inf, hiz)
         near = jnp.maximum(jnp.maximum(lox, loy), jnp.maximum(loz, tmin))
         far = jnp.minimum(jnp.minimum(hix, hiy), jnp.minimum(hiz, limit))
         return near <= far
