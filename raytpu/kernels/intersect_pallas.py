@@ -38,8 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..accel.bvh import BVH8_WIDTH, LEAF_SIZE
 
-PACKET = 1024  # rays per packet = one [8, 128] vector tile
-PACKETS_PER_BLOCK = 32  # packets per grid step: amortises the per-step
+PACKET = 4096  # rays per packet ([PACKET//128, 128] vector tiles)
+PACKETS_PER_BLOCK = 16  # packets per grid step: amortises the per-step
 # scene-window fetch (~50us) across 32 packet walks
 F32_MAX = 3.40282347e38
 # worst-case stack: (BVH8_WIDTH - 1) pushes per level x bounded tree depth
@@ -79,13 +79,13 @@ def _one_packet(
     tmax_ref, t_ref, tri_ref, stack_ref, pk,
     *, tmin: float, any_hit: bool,
 ):
-    ROX = rox_ref[pk].reshape(8, 128)
-    ROY = roy_ref[pk].reshape(8, 128)
-    ROZ = roz_ref[pk].reshape(8, 128)
-    RDX = rdx_ref[pk].reshape(8, 128)
-    RDY = rdy_ref[pk].reshape(8, 128)
-    RDZ = rdz_ref[pk].reshape(8, 128)
-    TMAX = tmax_ref[pk].reshape(8, 128)
+    ROX = rox_ref[pk].reshape(PACKET // 128, 128)
+    ROY = roy_ref[pk].reshape(PACKET // 128, 128)
+    ROZ = roz_ref[pk].reshape(PACKET // 128, 128)
+    RDX = rdx_ref[pk].reshape(PACKET // 128, 128)
+    RDY = rdy_ref[pk].reshape(PACKET // 128, 128)
+    RDZ = rdz_ref[pk].reshape(PACKET // 128, 128)
+    TMAX = tmax_ref[pk].reshape(PACKET // 128, 128)
     # clamp exactly-zero direction components to +/-tiny: 0*inf NaNs can
     # then never appear in the slab test, so its per-axis NaN guards go
     # away (box accept/reject is unchanged: the substituted +/-1e36-scale
@@ -104,12 +104,12 @@ def _one_packet(
     NEGY = IDY < 0.0
     NEGZ = IDZ < 0.0
     # packet means for near-first child ordering
-    MOX = jnp.sum(ROX) * (1.0 / 1024.0)
-    MOY = jnp.sum(ROY) * (1.0 / 1024.0)
-    MOZ = jnp.sum(ROZ) * (1.0 / 1024.0)
-    MDX = jnp.sum(RDX) * (1.0 / 1024.0)
-    MDY = jnp.sum(RDY) * (1.0 / 1024.0)
-    MDZ = jnp.sum(RDZ) * (1.0 / 1024.0)
+    MOX = jnp.sum(ROX) * (1.0 / PACKET)
+    MOY = jnp.sum(ROY) * (1.0 / PACKET)
+    MOZ = jnp.sum(ROZ) * (1.0 / PACKET)
+    MDX = jnp.sum(RDX) * (1.0 / PACKET)
+    MDY = jnp.sum(RDY) * (1.0 / PACKET)
+    MDZ = jnp.sum(RDZ) * (1.0 / PACKET)
 
     def slab(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz, limit):
         """Direction-sign slab test. Deliberately does NOT order-normalise
@@ -241,9 +241,9 @@ def _one_packet(
     if any_hit:
         best0 = TMAX  # any-hit compares against the per-ray max directly
     else:
-        best0 = jnp.minimum(jnp.full((8, 128), F32_MAX), TMAX)
+        best0 = jnp.minimum(jnp.full((PACKET // 128, 128), F32_MAX), TMAX)
     _, best_t, best_tri = lax.while_loop(
-        cond, body, (jnp.int32(1), best0, jnp.full((8, 128), -1, jnp.int32))
+        cond, body, (jnp.int32(1), best0, jnp.full((PACKET // 128, 128), -1, jnp.int32))
     )
     t_ref[pk] = best_t.reshape(-1)
     tri_ref[pk] = best_tri.reshape(-1)
@@ -268,8 +268,18 @@ def packet_query(
     (F32_MAX / tmax when none), tri = triangle slot or -1. For any_hit,
     tri >= 0 means blocked."""
     r = rox.shape[0]
-    assert r % PACKET == 0
-    n_pk = r // PACKET
+    # pad rays to a packet multiple with dead lanes (tmax = -inf)
+    r_pad = -(-r // PACKET) * PACKET
+    if r_pad != r:
+        def padr(a, fill):
+            return jnp.concatenate(
+                [a, jnp.full((r_pad - r,), fill, a.dtype)]
+            )
+
+        rox, roy, roz = padr(rox, 0.0), padr(roy, 0.0), padr(roz, 0.0)
+        rdx, rdy, rdz = padr(rdx, 1.0), padr(rdy, 1.0), padr(rdz, 1.0)
+        tmax = padr(jnp.broadcast_to(tmax, (r,)), -jnp.inf)
+    n_pk = r_pad // PACKET
     # Mosaic requires the block's sublane dim to divide by 8 (or equal the
     # array dim): pad the packet count with dead packets (tmax = -inf, one
     # stack pop each)
@@ -315,7 +325,10 @@ def packet_query(
         ),
         interpret=interpret,
     )(node8_rows, leaf_tris, *args2d)
-    return t[:n_pk].reshape(r), tri[:n_pk].reshape(r)
+    return (
+        t[:n_pk].reshape(r_pad)[:r],
+        tri[:n_pk].reshape(r_pad)[:r],
+    )
 
 
 def vmem_budget_ok(pack, budget_bytes: int = 100 * 1024 * 1024) -> bool:
