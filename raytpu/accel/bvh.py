@@ -383,6 +383,33 @@ def validate_bvh(bvh: BvhArrays, n_tris: int) -> None:
     assert ((bvh.miss > idx) | (bvh.miss == -1)).all()
 
 
+def bvh8_depth(node_rows: np.ndarray) -> int:
+    """Depth of the wide tree in node levels (root-only tree = 1), walking
+    interior child links breadth-first. Bounds the packet kernel's stack:
+    a traversal holds at most BVH8_WIDTH pending children per level, so
+    8*depth + 1 SMEM slots suffice (checked against STACK_DEPTH at pack
+    time, scene/pack.py)."""
+    links = np.stack(
+        [node_rows[:, 16 * k + 6].view(np.int32) for k in range(BVH8_WIDTH)],
+        axis=1,
+    )
+    filled = np.stack(
+        [
+            (node_rows[:, 16 * k + 0] <= node_rows[:, 16 * k + 3])
+            for k in range(BVH8_WIDTH)
+        ],
+        axis=1,
+    )
+    frontier = np.array([0], np.int64)
+    depth = 0
+    while frontier.size:
+        depth += 1
+        child = links[frontier]
+        interior = filled[frontier] & (child >= 0)
+        frontier = np.unique(child[interior]).astype(np.int64)
+    return depth
+
+
 def validate_bvh8(bvh8: Bvh8Arrays, n_tris: int, leaf_size: int = LEAF_SIZE):
     """Every leaf row must be referenced at most once and cover all tris."""
     rows = bvh8.node_rows

@@ -34,8 +34,9 @@ against the reference's images, quirks included):
 * next-event light contributions are added to radiance *unattenuated*; the
   final attenuation multiplies everything once at path exit
   (src/shader.wgsl:370-380);
-* pixels outside the chunk grid (width/height not divisible by chunk_size)
-  are never rendered and stay black (src/state.rs:330-334 +
+* pixels outside the dispatched chunk grid stay black — see
+  ``_in_chunk_grid`` for the exact (asymmetric in x/y) rule the reference's
+  over-dispatching chunk loop produces (src/state.rs:330-334 +
   src/shader.wgsl:400-408).
 """
 
@@ -167,6 +168,21 @@ def _apply_linear(pack, row, pos):
     )
 
 
+def _in_chunk_grid(px, py, w: int, h: int, cs: int):
+    """Pixels the reference actually renders. The host dispatches
+    ``w*h/chunk_size`` chunks (src/state.rs:330-334 — the over-dispatch
+    quirk), the shader maps each chunk to a tile ``(chunk % (w/cs),
+    chunk / (w/cs))`` (src/shader.wgsl:400-404) and discards
+    ``pixel.y > height`` (:406-408 — ``>`` not ``>=``; the py == h row
+    passes the guard but its textureStore is out of bounds and dropped).
+    Net effect: **x is truncated to whole chunks, y only to the frame** —
+    partial bottom rows DO render when height % chunk_size != 0 — provided
+    the pixel's chunk index is below the dispatch count."""
+    cols = max(w // cs, 1)
+    chunk = (py // cs) * cols + (px // cs)
+    return (px // cs < w // cs) & (py < h) & (chunk < (w * h) // cs)
+
+
 def _morton6(q):
     """Interleave three 6-bit integer coordinates into an 18-bit Morton
     code (vectorised bit spreading)."""
@@ -239,8 +255,12 @@ def _trace_paths(
     lanes (1 primary + 2 per bounce iteration entered — the reference's
     cost model, SURVEY.md §3.4)."""
     r = ro.shape[0]
+    # int32 is safe per call: one tile-sample counts <= R*(1+2*bounces)
+    # rays (< 2^31 for any realistic tile); cross-sample/tile accumulation
+    # happens in int64 on the host (count_rays) — jnp.int64 would silently
+    # wrap to int32 without jax_enable_x64
     n_rays = (
-        jnp.sum(count_mask.astype(jnp.int64)) if count_mask is not None
+        jnp.sum(count_mask.astype(jnp.int32)) if count_mask is not None
         else None
     )
     # derive from the rays so loop carries keep shard_map varying-axis
@@ -395,7 +415,7 @@ def _trace_paths(
         carry = jax.lax.cond(jnp.any(carry[5]), step, lambda c: c, carry)
         if n_rays is not None:
             counted = carry[5] & count_mask
-            n_rays = n_rays + 2 * jnp.sum(counted.astype(jnp.int64))
+            n_rays = n_rays + 2 * jnp.sum(counted.astype(jnp.int32))
 
     _, _, rng, radiance, attenuation, _ = carry
     if n_rays is not None:
@@ -504,9 +524,8 @@ def render_tile(
     py = y0 + py_local
     rng0 = rngk.seed_pixels(px, py, w, config.chunk_size, config.seed)
 
-    # pixels outside the chunk grid are never dispatched by the reference
-    cs = config.chunk_size
-    in_grid = (px // cs < w // cs) & (py // cs < h // cs)
+    # pixels outside the dispatched chunk grid stay black (_in_chunk_grid)
+    in_grid = _in_chunk_grid(px, py, w, h, config.chunk_size)
 
     pxf = px.astype(jnp.float32)
     pyf = py.astype(jnp.float32)
@@ -547,8 +566,12 @@ def count_rays(
     total = 0
     for y0 in range(0, config.height, tile_h):
         rows = min(tile_h, config.height - y0)
-        n = _count_tile(pack, camera, jnp.int32(y0), config, tile_h, rows)
-        total += int(n)
+        per_sample = _count_tile(
+            pack, camera, jnp.int32(y0), config, tile_h, rows
+        )
+        # per-sample counts are int32 on device; the frame total can exceed
+        # 2^31 (1080p at >= ~120 spp), so widen on the host
+        total += int(np.asarray(per_sample, np.int64).sum())
     return total
 
 
@@ -559,16 +582,15 @@ def _count_tile(pack, camera, y0, config, tile_h, valid_rows):
     px, py_local, _ = _pixel_layout(w, tile_h, packet_mode)
     py = y0 + py_local
     rng0 = rngk.seed_pixels(px, py, w, config.chunk_size, config.seed)
-    cs = config.chunk_size
     # (py < y0 + valid_rows) also drops packet-padding lanes that alias the
     # next tile's pixels — they must not be double counted
-    in_grid = (
-        (px // cs < w // cs) & (py // cs < h // cs) & (py < y0 + valid_rows)
+    in_grid = _in_chunk_grid(px, py, w, h, config.chunk_size) & (
+        py < y0 + valid_rows
     )
     pxf, pyf = px.astype(jnp.float32), py.astype(jnp.float32)
 
-    def body(_, carry):
-        rng, total = carry
+    def body(i, carry):
+        rng, totals = carry
         rng, jx = rngk.rand(rng)
         rng, jy = rngk.rand(rng)
         ro, rd = cast_rays(pxf + jx, pyf + jy, camera.world,
@@ -579,12 +601,12 @@ def _count_tile(pack, camera, y0, config, tile_h, valid_rows):
             count_mask=in_grid, mask=in_grid,
             sort_bounced=packet_mode and pack.n_triangles > 4096,
         )
-        return rng, total + n
+        return rng, totals.at[i].set(n)
 
-    _, total = jax.lax.fori_loop(
-        0, config.samples, body, (rng0, jnp.int64(0))
-    )
-    return total
+    # one int32 slot per sample; the host widens to int64 when summing
+    totals0 = jnp.zeros((config.samples,), jnp.int32)
+    _, totals = jax.lax.fori_loop(0, config.samples, body, (rng0, totals0))
+    return totals
 
 
 def _auto_tile_rows(config: RenderConfig, n_tris: int) -> int:

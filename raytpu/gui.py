@@ -17,11 +17,18 @@ from .io.png import quantize_rgba32f
 
 
 def _try_matplotlib():
+    """Return pyplot only when a window can actually appear: a non-Agg
+    interactive backend, or a display server for Agg to be switched away
+    from. (get_backend() is always truthy, so it alone proves nothing —
+    headless boxes default to Agg, which would 'show' invisibly.)"""
     try:
+        import os
+
         import matplotlib
 
-        if not sys.stdout.isatty() and not matplotlib.get_backend():
-            return None
+        backend = matplotlib.get_backend().lower()
+        if "agg" in backend and not os.environ.get("DISPLAY"):
+            return None  # headless: fall back to the progress line
         import matplotlib.pyplot as plt
 
         return plt

@@ -4,8 +4,8 @@ The TPU-native answer to the reference's hardware ray queries
 (src/shader.wgsl:312-319): XLA's dynamic gathers move ~2% of HBM bandwidth,
 so per-ray node fetches can never reach the north-star ray rate. Instead,
 this kernel amortises *scalar* node fetches across a coherent **packet** of
-1024 rays held in VMEM ([8, 128] vector registers), with the whole BVH
-resident in VMEM:
+``PACKET`` (4096) rays held in VMEM ([PACKET//128, 128] vector tiles), with
+the whole BVH resident in VMEM:
 
 * the scene's 8-wide BVH (accel/bvh.py) packs each node's 8 children into
   one 128-lane row — dynamic indexing stays on the sublane dimension, which
@@ -42,8 +42,10 @@ PACKET = 4096  # rays per packet ([PACKET//128, 128] vector tiles)
 PACKETS_PER_BLOCK = 16  # packets per grid step: amortises the per-step
 # scene-window fetch (~50us) across 32 packet walks
 F32_MAX = 3.40282347e38
-# worst-case stack: (BVH8_WIDTH - 1) pushes per level x bounded tree depth
-# (the builder forces median splits beyond depth 32)
+# Worst-case stack: <= BVH8_WIDTH pushes per level x wide-tree depth, so a
+# depth-d BVH8 needs at most 8*d + 1 slots. scene/pack.py asserts the built
+# tree's actual depth fits (8*depth + 8 <= STACK_DEPTH) at pack time, and
+# the kernel clamps pushes as a last-resort corruption guard.
 STACK_DEPTH = 512
 
 
@@ -217,12 +219,19 @@ def _one_packet(
                 in_bucket = (prios[k] > pivot) if far else (prios[k] <= pivot)
                 push = anys[k] & jnp.logical_not(leafs[k]) & in_bucket
                 link = links[k]
+                # clamp guards SMEM against overflow on adversarial trees
+                # (pack.py asserts the depth bound, so this never fires for
+                # built scenes; an overflowing push drops a subtree rather
+                # than corrupting the stack)
+                slot = jnp.minimum(sp, STACK_DEPTH - 1)
 
                 @pl.when(push)
                 def _():
-                    stack_ref[sp] = link
+                    stack_ref[slot] = link
 
-                sp = sp + push.astype(jnp.int32)
+                sp = jnp.minimum(
+                    sp + push.astype(jnp.int32), STACK_DEPTH - 1
+                )
 
         # pass 3: leaf tests, near bucket first (shrinks best_t sooner)
         for far in (False, True):
@@ -266,7 +275,13 @@ def packet_query(
     """Trace R rays (R a multiple of PACKET, packet-coherent ordering)
     through the 8-wide BVH. Returns (t, tri): t = committed distance
     (F32_MAX / tmax when none), tri = triangle slot or -1. For any_hit,
-    tri >= 0 means blocked."""
+    tri >= 0 means blocked.
+
+    Range contract: any_hit accepts the closed range [tmin, tmax] like the
+    hardware query; closest-hit treats a *finite* tmax as an OPEN bound
+    (t < tmax) — the engine only ever passes F32_MAX (or -inf for dead
+    lanes) so the distinction is unobservable there, but callers doing
+    finite-tmax closest queries should know."""
     r = rox.shape[0]
     # pad rays to a packet multiple with dead lanes (tmax = -inf)
     r_pad = -(-r // PACKET) * PACKET
@@ -343,13 +358,20 @@ def vmem_budget_ok(pack, budget_bytes: int = 100 * 1024 * 1024) -> bool:
 def make_packet_intersectors(pack, tmin: float = 0.001,
                              interpret: bool = False):
     """(closest_fn, any_fn) with the engine's (ro, rd, tmin, tmax)
-    signature. Rays must arrive packet-ordered and padded to PACKET."""
+    signature. Rays must arrive packet-ordered and padded to PACKET.
+
+    tmin is bound at factory time (a Pallas compile-time constant): closest
+    queries use ``tmin`` (the reference's 0.001, src/shader.wgsl:312-319),
+    any-hit shadow queries use 0.0 (src/shader.wgsl:174-186). The per-call
+    ``tmin_`` argument exists only to satisfy the shared intersector
+    signature and is ignored — callers needing a different tmin must build
+    new intersectors."""
     from .intersect import Hit
 
     node8 = pack.bvh.node8_rows
     leaves = pack.bvh.leaf_tris
 
-    def closest(ro, rd, tmin_, tmax):
+    def closest(ro, rd, tmin_, tmax):  # tmin_ ignored; see factory docstring
         r = ro.shape[0]
         tmax_r = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
         t, tri = packet_query(

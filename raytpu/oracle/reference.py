@@ -267,14 +267,18 @@ class OracleRenderer:
     # --- main (src/shader.wgsl:395-419 + chunk loop src/state.rs:336-379) ---
     def render(self, width, height, seed, samples, bounces, chunk_size):
         img = np.zeros((height, width, 4), np.float32)
-        cols = width // chunk_size
-        rows = height // chunk_size
+        cols = max(width // chunk_size, 1)
+        # the host dispatches w*h/chunk_size chunks (src/state.rs:330-334);
+        # the shader guard is pixel.y > height (src/shader.wgsl:406-408), so
+        # partial bottom rows DO render — only x truncates to whole chunks
+        # (engine twin: raytpu.engine.render._in_chunk_grid)
+        total_chunks = (width * height) // chunk_size
         for py in range(height):
             for px in range(width):
                 cx, cy = px // chunk_size, py // chunk_size
-                if cx >= cols or cy >= rows:
-                    continue  # never dispatched by the reference
                 chunk = cy * cols + cx
+                if cx >= width // chunk_size or chunk >= total_chunks:
+                    continue  # never dispatched by the reference
                 lx, ly = px % chunk_size, py % chunk_size
                 state = (
                     (lx + 1) * (ly + 1) * (chunk + 1) * seed

@@ -105,6 +105,19 @@ def pack_scene(scene: SceneData, leaf_size: int = LEAF_SIZE) -> ScenePack:
 
     bvh, bvh8 = build_bvh(p0, e1, e2, leaf_size=leaf_size)
 
+    # the packet kernel's SMEM stack must provably hold the deepest
+    # traversal (<= BVH8_WIDTH pushes per level); reject pathological trees
+    # here rather than corrupt (or clamp-drop subtrees) at trace time
+    from ..accel.bvh import bvh8_depth
+    from ..kernels.intersect_pallas import STACK_DEPTH
+
+    depth = bvh8_depth(bvh8.node_rows)
+    if 8 * depth + 8 > STACK_DEPTH:
+        raise ValueError(
+            f"BVH8 depth {depth} exceeds the packet kernel stack bound "
+            f"(needs {8 * depth + 8} slots, STACK_DEPTH={STACK_DEPTH})"
+        )
+
     # reorder triangles into BVH leaf order; -1 entries become degenerate
     # padding triangles (e1 = e2 = 0 can never be hit). Pad the slot count
     # so the brute-force sweep's fixed chunk (512) always divides it.

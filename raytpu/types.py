@@ -18,7 +18,8 @@ step needs into a single row):
                          (kept for inspection/tools; shading reads tri_row)
 * ``light_table``[L, 8]  position + color
 * ``bvh.nodes`` [N, 8]   bmin, bmax, miss link, leaf row (bitcast int32)
-* ``bvh.leaf_tris`` [Nl, 40]  4 triangles x (p0,e1,e2,pad) world space
+* ``bvh.leaf_tris`` [Nl, 80]  8 triangles x (p0,e1,e2,pad) world space
+                         (LEAF_SIZE = 8, accel/bvh.py)
 """
 
 from __future__ import annotations

@@ -104,10 +104,40 @@ def test_checkpoint_partial_resume(tmp_path, cube_scene, cube_camera):
         partial[y0:y0 + rows] = tile
         if i == 1:
             break
-    np.savez(ckpt, frame=partial, next_y0=np.int64(16), seed=np.int64(3))
+    from raytpu.engine.progressive import _ckpt_key
+
+    np.savez(ckpt, frame=partial, next_y0=np.int64(16),
+             key=_ckpt_key(pack, cam, cfg))
 
     resumed = render_with_checkpoint(pack, cam, cfg, ckpt)
     np.testing.assert_array_equal(resumed, full)
+
+
+def test_checkpoint_config_change_restarts(tmp_path, cube_scene,
+                                           cube_camera):
+    """Resuming with a different config (here: bounces) must re-render from
+    scratch, never stitch stale rows into the new frame."""
+    import raytpu
+    from raytpu.engine.progressive import render_with_checkpoint
+    from raytpu.scene.pack import pack_camera, pack_scene
+
+    pack = pack_scene(cube_scene)
+    cam = pack_camera(cube_camera)
+    cfg1 = raytpu.RenderConfig(width=32, height=32, seed=3, samples=1,
+                               bounces=1, chunk_size=16, tile_rows=8)
+    cfg2 = raytpu.RenderConfig(width=32, height=32, seed=3, samples=1,
+                               bounces=3, chunk_size=16, tile_rows=8)
+    ckpt = str(tmp_path / "c.npz")
+    render_with_checkpoint(pack, cam, cfg1, ckpt)  # full bounces=1 ckpt
+    resumed = render_with_checkpoint(pack, cam, cfg2, ckpt)
+    full2 = np.asarray(raytpu.render_frame(pack, cam, cfg2))
+    np.testing.assert_array_equal(resumed, full2)
+
+    # legacy checkpoints without a key are also rejected
+    np.savez(ckpt, frame=np.zeros((32, 32, 4), np.float32),
+             next_y0=np.int64(32), seed=np.int64(3))
+    resumed = render_with_checkpoint(pack, cam, cfg2, ckpt)
+    np.testing.assert_array_equal(resumed, full2)
 
 
 def test_devices_flag_shards_across_mesh(tmp_path):

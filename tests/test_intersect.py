@@ -299,3 +299,51 @@ def test_native_builder_matches_python_renders():
     np.testing.assert_allclose(
         traversal_t(bvh_n), traversal_t(bvh_p), rtol=1e-6
     )
+
+
+def test_adversarial_overlapping_scene_fits_stack():
+    """Worst-case trees (thousands of near-coincident triangles: SAH
+    degenerates to median splits on identical centroids) must still satisfy
+    the packet kernel's provable stack bound — and traverse correctly.
+    Guards intersect_pallas.STACK_DEPTH against silent SMEM corruption."""
+    from raytpu.accel.bvh import bvh8_depth
+    from raytpu.kernels.intersect_pallas import (
+        PACKET,
+        STACK_DEPTH,
+        packet_query,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 4096
+    # all triangles overlapping inside a unit box around the origin
+    jitter = rng.uniform(-1e-3, 1e-3, (n, 3)).astype(np.float32)
+    a = np.tile(np.array([[-1.0, -1.0, 0.0]], np.float32), (n, 1)) + jitter
+    b = np.tile(np.array([[1.0, -1.0, 0.0]], np.float32), (n, 1)) + jitter
+    c = np.tile(np.array([[0.0, 1.0, 0.0]], np.float32), (n, 1)) + jitter
+    bvh, bpack, rp0, re1, re2 = _build_bvh_pack(a, b - a, c - a)
+
+    depth = bvh8_depth(np.asarray(bpack.node8_rows))
+    assert 8 * depth + 8 <= STACK_DEPTH, (depth, STACK_DEPTH)
+
+    n_rays = PACKET
+    ro = jnp.asarray(rng.uniform(-2, 2, (n_rays, 3)).astype(np.float32))
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    rd = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+    # brute force needs a 512-multiple; pad with degenerate (e=0) triangles
+    padn = (-rp0.shape[0]) % 512
+    z = np.zeros((padn, 3), np.float32)
+    brute = intersect_bruteforce(
+        ro, rd,
+        np.concatenate([rp0, z]), np.concatenate([re1, z]),
+        np.concatenate([re2, z]), 0.001, F32_MAX,
+    )
+    t, tri = packet_query(
+        bpack.node8_rows, bpack.leaf_tris,
+        ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
+        jnp.full(n_rays, float(F32_MAX)), tmin=0.001, interpret=True,
+    )
+    valid = np.asarray(brute.valid)
+    np.testing.assert_array_equal(np.asarray(tri) >= 0, valid)
+    np.testing.assert_allclose(
+        np.asarray(t)[valid], np.asarray(brute.t)[valid], rtol=1e-6
+    )

@@ -46,6 +46,17 @@ def test_path_traced_multi_sample(cube_scene, cube_camera, oracle):
     assert psnr(quantize_rgba32f(frame), quantize_rgba32f(ref)) > 35.0
 
 
+def test_path_traced_128_bar(cube_scene, cube_camera, oracle):
+    """The BASELINE.json parity bar (SSIM >= 0.99) at 128x128 — the highest
+    resolution the scalar oracle affords in CI."""
+    cfg = raytpu.RenderConfig(width=128, height=128, seed=5, samples=2,
+                              bounces=4, chunk_size=32)
+    frame = np.asarray(raytpu.render(cube_scene, cube_camera, cfg))
+    ref = oracle.render(128, 128, 5, 2, 4, 32)
+    _compare(frame, ref, min_ssim=0.99)
+    assert psnr(quantize_rgba32f(frame), quantize_rgba32f(ref)) > 35.0
+
+
 def test_seed_changes_image(cube_scene, cube_camera):
     cfg1 = raytpu.RenderConfig(width=32, height=32, seed=1, samples=1,
                                bounces=4, chunk_size=16)
@@ -69,19 +80,37 @@ def test_chunk_size_changes_rng_tiling(cube_scene, cube_camera):
     assert abs(f1.mean() - f2.mean()) < 0.02
 
 
-def test_non_divisible_sizes_leave_black_border(cube_scene, cube_camera,
-                                                oracle):
-    """Pixels outside the chunk grid are never dispatched by the reference
-    (is_finished quirk, src/state.rs:330-334): columns/rows past the last
-    full chunk stay black."""
+def test_non_divisible_sizes_truncate_x_but_not_y(cube_scene, cube_camera,
+                                                  oracle):
+    """The reference's over-dispatching chunk loop (is_finished,
+    src/state.rs:330-334) combined with the shader's pixel.y > height guard
+    (src/shader.wgsl:406-408) means partial bottom ROWS render while partial
+    right COLUMNS stay black: the x axis truncates to whole chunks, the y
+    axis only to the frame."""
     cfg = raytpu.RenderConfig(width=50, height=40, seed=1, samples=1,
                               bounces=1, chunk_size=16)
     frame = np.asarray(raytpu.render(cube_scene, cube_camera, cfg))
-    assert (frame[:, 48:] == 0).all()  # 50//16*16 = 48
-    assert (frame[32:, :] == 0).all()  # 40//16*16 = 32
+    assert (frame[:, 48:] == 0).all()  # 50//16*16 = 48: x truncated
     ref = oracle.render(50, 40, 1, 1, 1, 16)
     d = np.abs(frame - ref).max(axis=-1)
     assert float(np.mean(d > 1e-3)) <= 0.03
+
+    # the extreme case: height (12) < chunk_size (16). The old
+    # full-chunks-only reading renders NOTHING here; the reference's
+    # over-dispatch + y>height guard renders every row.
+    from raytpu.scene.pack import pack_camera, pack_scene
+
+    cam12 = raytpu.load_camera_json("/root/reference/camera.json", 48, 12)
+    cfg12 = raytpu.RenderConfig(width=48, height=12, seed=1, samples=1,
+                                bounces=1, chunk_size=16)
+    f12 = np.asarray(
+        raytpu.render_frame(pack_scene(cube_scene), pack_camera(cam12),
+                            cfg12)
+    )
+    assert (f12.max(axis=-1) > 0).any()  # rows < chunk_size DO render
+    ref12 = OracleRenderer(cube_scene, cam12).render(48, 12, 1, 1, 1, 16)
+    d12 = np.abs(f12 - ref12).max(axis=-1)
+    assert float(np.mean(d12 > 1e-3)) <= 0.03
 
 
 def test_flat_mode(cube_scene, cube_camera):
