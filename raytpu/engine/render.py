@@ -512,17 +512,23 @@ def render_tile(
     y0: jnp.ndarray,
     config: RenderConfig,
     tile_h: int,
+    seed=None,
 ) -> jnp.ndarray:
     """Render rows [y0, y0 + tile_h) of the frame; returns [tile_h, W, 4].
 
     One compiled program serves every tile (y0 is a traced scalar), mirroring
     how the reference re-dispatches one compute pipeline per chunk with only
-    a uniform update (src/state.rs:336-379)."""
+    a uniform update (src/state.rs:336-379). ``seed`` optionally overrides
+    config.seed with a *traced* value so callers that vary the seed per
+    device shard (parallel/shard.py spp mode) still share this one compiled
+    program."""
     w, h = config.width, config.height
     (closest, any_hit), packet_mode = _choose_intersectors(pack, config)
     px, py_local, unpermute = _pixel_layout(w, tile_h, packet_mode)
     py = y0 + py_local
-    rng0 = rngk.seed_pixels(px, py, w, config.chunk_size, config.seed)
+    if seed is None:
+        seed = config.seed
+    rng0 = rngk.seed_pixels(px, py, w, config.chunk_size, seed)
 
     # pixels outside the dispatched chunk grid stay black (_in_chunk_grid)
     in_grid = _in_chunk_grid(px, py, w, h, config.chunk_size)

@@ -4,8 +4,8 @@ The TPU-native answer to the reference's hardware ray queries
 (src/shader.wgsl:312-319): XLA's dynamic gathers move ~2% of HBM bandwidth,
 so per-ray node fetches can never reach the north-star ray rate. Instead,
 this kernel amortises *scalar* node fetches across a coherent **packet** of
-``PACKET`` (4096) rays held in VMEM ([PACKET//128, 128] vector tiles), with
-the whole BVH resident in VMEM:
+``packet`` rays (default 4096) held in VMEM ([packet//128, 128] vector
+tiles), with the whole BVH resident in VMEM:
 
 * the scene's 8-wide BVH (accel/bvh.py) packs each node's 8 children into
   one 128-lane row — dynamic indexing stays on the sublane dimension, which
@@ -16,11 +16,15 @@ the whole BVH resident in VMEM:
   triangles;
 * rays enter in 32x32-pixel block order (the engine permutes the tile), so
   primary and shadow packets share most of their traversal path; bounce
-  packets inherit origin coherence from the pixel footprint.
+  packets are coherence-sorted by the engine (direction-major key).
 
 Closest-hit and any-hit (shadow) variants share the kernel body; any-hit
 carries a blocked mask and stops a packet as soon as every live lane is
 blocked.
+
+``with_stats=True`` additionally returns per-packet traversal counters
+(node pops, leaf-row tests) — the occupancy diagnostic behind the packet
+size / sort-key tuning (benchmarks/profile_atrium.py).
 
 Measured on TPU v5e (vs the XLA while_loop path, bit-equal results):
 ~17x faster on a 27k-triangle scene at 131k coherent rays.
@@ -38,9 +42,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..accel.bvh import BVH8_WIDTH, LEAF_SIZE
 
-PACKET = 4096  # rays per packet ([PACKET//128, 128] vector tiles)
+PACKET = 4096  # default rays per packet ([PACKET//128, 128] vector tiles)
 PACKETS_PER_BLOCK = 16  # packets per grid step: amortises the per-step
-# scene-window fetch (~50us) across 32 packet walks
+# scene-window fetch (~50us) across the block's packet walks
 F32_MAX = 3.40282347e38
 # Worst-case stack: <= BVH8_WIDTH pushes per level x wide-tree depth, so a
 # depth-d BVH8 needs at most 8*d + 1 slots. scene/pack.py asserts the built
@@ -52,23 +56,28 @@ STACK_DEPTH = 512
 def _packet_kernel(
     nodes_ref,  # [N8, 128] VMEM
     leaf_ref,  # [Nl, 80] VMEM
-    rox_ref, roy_ref, roz_ref,  # [PPB, PACKET] VMEM
-    rdx_ref, rdy_ref, rdz_ref,  # [PPB, PACKET] VMEM
-    tmax_ref,  # [PPB, PACKET] VMEM (per-ray far; <= tmin disables the lane)
-    t_ref, tri_ref,  # outputs [PPB, PACKET]
-    stack_ref,  # SMEM scratch [STACK_DEPTH]
-    *,
+    rox_ref, roy_ref, roz_ref,  # [PPB, packet] VMEM
+    rdx_ref, rdy_ref, rdz_ref,  # [PPB, packet] VMEM
+    tmax_ref,  # [PPB, packet] VMEM (per-ray far; <= tmin disables the lane)
+    *refs,  # outputs t/tri [PPB, packet] (+ stats [PPB, 128]) then scratch
+    packet: int,
     tmin: float,
     any_hit: bool,
+    with_stats: bool,
 ):
+    if with_stats:
+        t_ref, tri_ref, stats_ref, stack_ref = refs
+    else:
+        t_ref, tri_ref, stack_ref = refs
+        stats_ref = None
     n_packets = rox_ref.shape[0]
 
     def run_packet(pk, _):
         _one_packet(
             nodes_ref, leaf_ref,
             rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
-            tmax_ref, t_ref, tri_ref, stack_ref, pk,
-            tmin=tmin, any_hit=any_hit,
+            tmax_ref, t_ref, tri_ref, stats_ref, stack_ref, pk,
+            packet=packet, tmin=tmin, any_hit=any_hit,
         )
         return 0
 
@@ -78,16 +87,17 @@ def _packet_kernel(
 def _one_packet(
     nodes_ref, leaf_ref,
     rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
-    tmax_ref, t_ref, tri_ref, stack_ref, pk,
-    *, tmin: float, any_hit: bool,
+    tmax_ref, t_ref, tri_ref, stats_ref, stack_ref, pk,
+    *, packet: int, tmin: float, any_hit: bool,
 ):
-    ROX = rox_ref[pk].reshape(PACKET // 128, 128)
-    ROY = roy_ref[pk].reshape(PACKET // 128, 128)
-    ROZ = roz_ref[pk].reshape(PACKET // 128, 128)
-    RDX = rdx_ref[pk].reshape(PACKET // 128, 128)
-    RDY = rdy_ref[pk].reshape(PACKET // 128, 128)
-    RDZ = rdz_ref[pk].reshape(PACKET // 128, 128)
-    TMAX = tmax_ref[pk].reshape(PACKET // 128, 128)
+    rows = packet // 128
+    ROX = rox_ref[pk].reshape(rows, 128)
+    ROY = roy_ref[pk].reshape(rows, 128)
+    ROZ = roz_ref[pk].reshape(rows, 128)
+    RDX = rdx_ref[pk].reshape(rows, 128)
+    RDY = rdy_ref[pk].reshape(rows, 128)
+    RDZ = rdz_ref[pk].reshape(rows, 128)
+    TMAX = tmax_ref[pk].reshape(rows, 128)
     # clamp exactly-zero direction components to +/-tiny: 0*inf NaNs can
     # then never appear in the slab test, so its per-axis NaN guards go
     # away (box accept/reject is unchanged: the substituted +/-1e36-scale
@@ -106,12 +116,13 @@ def _one_packet(
     NEGY = IDY < 0.0
     NEGZ = IDZ < 0.0
     # packet means for near-first child ordering
-    MOX = jnp.sum(ROX) * (1.0 / PACKET)
-    MOY = jnp.sum(ROY) * (1.0 / PACKET)
-    MOZ = jnp.sum(ROZ) * (1.0 / PACKET)
-    MDX = jnp.sum(RDX) * (1.0 / PACKET)
-    MDY = jnp.sum(RDY) * (1.0 / PACKET)
-    MDZ = jnp.sum(RDZ) * (1.0 / PACKET)
+    inv_p = 1.0 / packet
+    MOX = jnp.sum(ROX) * inv_p
+    MOY = jnp.sum(ROY) * inv_p
+    MOZ = jnp.sum(ROZ) * inv_p
+    MDX = jnp.sum(RDX) * inv_p
+    MDY = jnp.sum(RDY) * inv_p
+    MDZ = jnp.sum(RDZ) * inv_p
 
     def slab(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz, limit):
         """Direction-sign slab test. Deliberately does NOT order-normalise
@@ -168,15 +179,21 @@ def _one_packet(
     live = TMAX >= 0.0  # engine disables dead lanes with tmax = -inf
 
     def cond(state):
-        sp, best_t, best_tri = state
+        sp = state[0]
         more = sp > 0
         if any_hit:
+            best_tri = state[2]
             # stop once every live lane is blocked
             more = more & jnp.logical_not(jnp.all((best_tri >= 0) | ~live))
         return more
 
     def body(state):
-        sp, best_t, best_tri = state
+        if stats_ref is not None:
+            sp, best_t, best_tri, n_pops, n_leafs = state
+            n_pops = n_pops + 1
+        else:
+            sp, best_t, best_tri = state
+            n_leafs = None
         sp = sp - 1
         node = stack_ref[sp]
         nrow = nodes_ref[node]
@@ -238,29 +255,45 @@ def _one_packet(
             for k in range(BVH8_WIDTH):
                 in_bucket = (prios[k] > pivot) if far else (prios[k] <= pivot)
                 link = links[k]
+                do_leaf = anys[k] & leafs[k] & in_bucket
                 best_t, best_tri = lax.cond(
-                    anys[k] & leafs[k] & in_bucket,
+                    do_leaf,
                     lambda bt, bi, link=link: leaf_test(~link, bt, bi),
                     lambda bt, bi: (bt, bi),
                     best_t, best_tri,
                 )
+                if n_leafs is not None:
+                    n_leafs = n_leafs + do_leaf.astype(jnp.int32)
+        if stats_ref is not None:
+            return sp, best_t, best_tri, n_pops, n_leafs
         return sp, best_t, best_tri
 
     stack_ref[0] = jnp.int32(0)
     if any_hit:
         best0 = TMAX  # any-hit compares against the per-ray max directly
     else:
-        best0 = jnp.minimum(jnp.full((PACKET // 128, 128), F32_MAX), TMAX)
-    _, best_t, best_tri = lax.while_loop(
-        cond, body, (jnp.int32(1), best0, jnp.full((PACKET // 128, 128), -1, jnp.int32))
-    )
+        best0 = jnp.minimum(jnp.full((rows, 128), F32_MAX), TMAX)
+    tri0 = jnp.full((rows, 128), -1, jnp.int32)
+    if stats_ref is not None:
+        _, best_t, best_tri, n_pops, n_leafs = lax.while_loop(
+            cond, body, (jnp.int32(1), best0, tri0, jnp.int32(0),
+                         jnp.int32(0))
+        )
+        # Mosaic cannot store scalars to VMEM: write a full (8,128) tile
+        # with lane 1 = leaf count, every other lane = pop count
+        lane = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        stats_ref[pk] = jnp.where(lane == 1, n_leafs, n_pops)
+    else:
+        _, best_t, best_tri = lax.while_loop(
+            cond, body, (jnp.int32(1), best0, tri0)
+        )
     t_ref[pk] = best_t.reshape(-1)
     tri_ref[pk] = best_tri.reshape(-1)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tmin", "any_hit", "interpret"),
+    static_argnames=("tmin", "any_hit", "interpret", "packet", "with_stats"),
 )
 def packet_query(
     node8_rows,
@@ -271,20 +304,25 @@ def packet_query(
     tmin: float = 0.001,
     any_hit: bool = False,
     interpret: bool = False,
+    packet: int = PACKET,
+    with_stats: bool = False,
 ):
-    """Trace R rays (R a multiple of PACKET, packet-coherent ordering)
-    through the 8-wide BVH. Returns (t, tri): t = committed distance
-    (F32_MAX / tmax when none), tri = triangle slot or -1. For any_hit,
-    tri >= 0 means blocked.
+    """Trace R rays (packet-coherent ordering) through the 8-wide BVH.
+    Returns (t, tri): t = committed distance (F32_MAX / tmax when none),
+    tri = triangle slot or -1. For any_hit, tri >= 0 means blocked. With
+    ``with_stats`` also returns an int32 [ceil(R/packet), 128] array: per
+    packet, lane 1 holds the leaf-row-test count and every other lane the
+    node-pop count.
 
     Range contract: any_hit accepts the closed range [tmin, tmax] like the
     hardware query; closest-hit treats a *finite* tmax as an OPEN bound
     (t < tmax) — the engine only ever passes F32_MAX (or -inf for dead
     lanes) so the distinction is unobservable there, but callers doing
     finite-tmax closest queries should know."""
+    assert packet % 128 == 0, packet
     r = rox.shape[0]
     # pad rays to a packet multiple with dead lanes (tmax = -inf)
-    r_pad = -(-r // PACKET) * PACKET
+    r_pad = -(-r // packet) * packet
     if r_pad != r:
         def padr(a, fill):
             return jnp.concatenate(
@@ -294,28 +332,42 @@ def packet_query(
         rox, roy, roz = padr(rox, 0.0), padr(roy, 0.0), padr(roz, 0.0)
         rdx, rdy, rdz = padr(rdx, 1.0), padr(rdy, 1.0), padr(rdz, 1.0)
         tmax = padr(jnp.broadcast_to(tmax, (r,)), -jnp.inf)
-    n_pk = r_pad // PACKET
+    n_pk = r_pad // packet
     # Mosaic requires the block's sublane dim to divide by 8 (or equal the
     # array dim): pad the packet count with dead packets (tmax = -inf, one
     # stack pop each)
     ppb = min(PACKETS_PER_BLOCK, -(-n_pk // 8) * 8)
     n_pad = -(-n_pk // ppb) * ppb
-    kernel = functools.partial(_packet_kernel, tmin=tmin, any_hit=any_hit)
+    kernel = functools.partial(
+        _packet_kernel, packet=packet, tmin=tmin, any_hit=any_hit,
+        with_stats=with_stats,
+    )
     rspec = pl.BlockSpec(
-        (ppb, PACKET), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (ppb, packet), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
 
     def to2d(a, fill):
-        a = a.reshape(n_pk, PACKET)
+        a = a.reshape(n_pk, packet)
         if n_pad != n_pk:
-            pad = jnp.full((n_pad - n_pk, PACKET), fill, a.dtype)
+            pad = jnp.full((n_pad - n_pk, packet), fill, a.dtype)
             a = jnp.concatenate([a, pad])
         return a
 
     args2d = [to2d(a, 0.0) for a in (rox, roy, roz)]
     args2d += [to2d(a, 1.0) for a in (rdx, rdy, rdz)]
     args2d.append(to2d(tmax, -jnp.inf))
-    t, tri = pl.pallas_call(
+    out_specs = [rspec, rspec]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_pad, packet), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad, packet), jnp.int32),
+    ]
+    if with_stats:
+        out_specs.append(
+            pl.BlockSpec((ppb, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((n_pad, 8, 128), jnp.int32))
+    out = pl.pallas_call(
         kernel,
         grid=(n_pad // ppb,),
         in_specs=[
@@ -327,11 +379,8 @@ def packet_query(
             ),
         ]
         + [rspec] * 7,
-        out_specs=[rspec, rspec],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad, PACKET), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, PACKET), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
         # the default scoped-vmem limit (16MB) rejects large resident
         # scenes; v5e has 128MB of VMEM — leave headroom for ray blocks
@@ -340,10 +389,12 @@ def packet_query(
         ),
         interpret=interpret,
     )(node8_rows, leaf_tris, *args2d)
-    return (
-        t[:n_pk].reshape(r_pad)[:r],
-        tri[:n_pk].reshape(r_pad)[:r],
-    )
+    t, tri = out[0], out[1]
+    t = t[:n_pk].reshape(r_pad)[:r]
+    tri = tri[:n_pk].reshape(r_pad)[:r]
+    if with_stats:
+        return t, tri, out[2][:n_pk, 0]
+    return t, tri
 
 
 def vmem_budget_ok(pack, budget_bytes: int = 100 * 1024 * 1024) -> bool:
@@ -356,9 +407,10 @@ def vmem_budget_ok(pack, budget_bytes: int = 100 * 1024 * 1024) -> bool:
 
 
 def make_packet_intersectors(pack, tmin: float = 0.001,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             packet: int = PACKET):
     """(closest_fn, any_fn) with the engine's (ro, rd, tmin, tmax)
-    signature. Rays must arrive packet-ordered and padded to PACKET.
+    signature. Rays must arrive packet-ordered and padded to ``packet``.
 
     tmin is bound at factory time (a Pallas compile-time constant): closest
     queries use ``tmin`` (the reference's 0.001, src/shader.wgsl:312-319),
@@ -379,6 +431,7 @@ def make_packet_intersectors(pack, tmin: float = 0.001,
             ro[:, 0], ro[:, 1], ro[:, 2],
             rd[:, 0], rd[:, 1], rd[:, 2],
             tmax_r, tmin=tmin, any_hit=False, interpret=interpret,
+            packet=packet,
         )
         return Hit(t=t, tri=tri, valid=tri >= 0)
 
@@ -390,6 +443,7 @@ def make_packet_intersectors(pack, tmin: float = 0.001,
             ro[:, 0], ro[:, 1], ro[:, 2],
             rd[:, 0], rd[:, 1], rd[:, 2],
             tmax_r, tmin=0.0, any_hit=True, interpret=interpret,
+            packet=packet,
         )
         return tri >= 0
 

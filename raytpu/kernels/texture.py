@@ -1,10 +1,17 @@
-"""Bilinear texture sampling from the padded atlas.
+"""Bilinear texture sampling from the flat texel buffer.
 
 Reproduces WGSL ``textureSampleLevel(TEXTURES[i], SAMPLER, uv, 0.0)``
 (src/shader.wgsl:350) with the reference's sampler state: linear min/mag
 filtering and the wgpu default ClampToEdge address mode
 (src/state.rs:699-704). Textures are Rgba8Unorm, so texels were normalised
-to [0,1] at pack time and filtering happens in f32, exactly like the GPU."""
+to [0,1] at pack time and filtering happens in f32, exactly like the GPU.
+
+Storage is one flat [total_texels, 4] buffer with per-texture
+(width, height, offset) descriptors — each texture at its native size,
+like the reference's per-texture GPU bindings (src/state.rs:907-916).
+(A padded [n, maxH, maxW, 4] cube would square badly with mixed sizes: one
+4K texture would inflate every texture to a 4K footprint; the gathers here
+cost the same either way.)"""
 
 from __future__ import annotations
 
@@ -12,15 +19,18 @@ import jax.numpy as jnp
 
 
 def sample_bilinear(
-    atlas: jnp.ndarray,  # [T, maxH, maxW, 4] f32
-    sizes: jnp.ndarray,  # [T, 2] i32 (width, height)
+    atlas: jnp.ndarray,  # [N_texels, 4] f32 (all textures, row-major each)
+    desc: jnp.ndarray,  # [T, 3] i32 (width, height, flat offset)
     tex_id: jnp.ndarray,  # [R] i32
     uv: jnp.ndarray,  # [R, 2] f32
 ) -> jnp.ndarray:
     """Returns [R,4] f32 samples."""
-    wh = sizes[tex_id].astype(jnp.float32)  # [R,2]
-    w = wh[:, 0]
-    h = wh[:, 1]
+    d = desc[tex_id]  # [R,3]
+    wi = d[:, 0]
+    hi = d[:, 1]
+    off = d[:, 2]
+    w = wi.astype(jnp.float32)
+    h = hi.astype(jnp.float32)
     # texel-space coordinates; GPU convention puts texel centres at +0.5
     x = uv[:, 0] * w - 0.5
     y = uv[:, 1] * h - 0.5
@@ -28,8 +38,6 @@ def sample_bilinear(
     y0 = jnp.floor(y)
     fx = x - x0
     fy = y - y0
-    wi = sizes[tex_id][:, 0]
-    hi = sizes[tex_id][:, 1]
 
     def clamp(v, hi_excl):
         return jnp.clip(v.astype(jnp.int32), 0, hi_excl - 1)
@@ -39,10 +47,10 @@ def sample_bilinear(
     iy0 = clamp(y0, hi)
     iy1 = clamp(y0 + 1, hi)
 
-    t00 = atlas[tex_id, iy0, ix0]
-    t10 = atlas[tex_id, iy0, ix1]
-    t01 = atlas[tex_id, iy1, ix0]
-    t11 = atlas[tex_id, iy1, ix1]
+    t00 = atlas[off + iy0 * wi + ix0]
+    t10 = atlas[off + iy0 * wi + ix1]
+    t01 = atlas[off + iy1 * wi + ix0]
+    t11 = atlas[off + iy1 * wi + ix1]
     fx = fx[:, None]
     fy = fy[:, None]
     top = t00 * (1.0 - fx) + t10 * fx

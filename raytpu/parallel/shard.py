@@ -39,14 +39,23 @@ def make_mesh(n_row_shards: int, n_sample_shards: int = 1) -> Mesh:
                 ("rows", "spp"))
 
 
-@partial(jax.jit, static_argnames=("config", "rows_per_shard", "mesh"))
+@partial(
+    jax.jit,
+    static_argnames=("config", "rows_per_shard", "mesh", "tiles_per_shard"),
+)
 def _render_sharded(
     pack: ScenePack,
     camera: CameraPack,
     config: RenderConfig,
     rows_per_shard: int,
     mesh: Mesh,
+    tiles_per_shard: int = 1,
 ):
+    """With tiles_per_shard > 1, each shard renders that many
+    ``rows_per_shard``-row tiles assigned round-robin (shard s takes tiles
+    s, s + n, s + 2n, ...) — trading per-tile size for load balance when
+    ray cost is concentrated in a few rows (see
+    benchmarks/multichip_report.py for measured balance)."""
     n_rows = mesh.shape["rows"]
     n_spp = mesh.shape["spp"]
     if n_spp > 1:
@@ -56,37 +65,49 @@ def _render_sharded(
     else:
         sub_samples = config.samples
 
-    def shard_fn(pack_, camera_):
-        row_shard = jax.lax.axis_index("rows")
-        y0 = (row_shard * rows_per_shard).astype(jnp.int32)
+    def render_one(pack_, camera_, y0):
         if n_spp > 1:
             # decorrelated fast mode: each spp shard renders its own sample
             # batch under a distinct odd seed multiplier, then pmean merges.
-            # lax.switch picks this shard's branch (only one executes).
-            def branch(s):
-                cfg = replace(
-                    config,
-                    samples=sub_samples,
-                    seed=(config.seed * (2 * s + 1)) & 0xFFFFFFFF,
-                )
-                return lambda: render_tile(pack_, camera_, y0, cfg,
-                                           rows_per_shard)
-
+            # The per-shard seed is a TRACED value so every shard (and every
+            # spp-axis size) shares one compiled render program — compile
+            # time is flat in the spp axis.
             spp_shard = jax.lax.axis_index("spp")
-            mine = jax.lax.switch(spp_shard, [branch(s) for s in range(n_spp)])
-            tile = jax.lax.pmean(mine, axis_name="spp")
-        else:
-            tile = render_tile(pack_, camera_, y0, config, rows_per_shard)
-        return tile[None]  # leading axis: rows shard
+            seed = (
+                jnp.uint32(config.seed) * (2 * spp_shard.astype(jnp.uint32)
+                                           + 1)
+            )
+            cfg = replace(config, samples=sub_samples)
+            mine = render_tile(pack_, camera_, y0, cfg, rows_per_shard,
+                               seed=seed)
+            return jax.lax.pmean(mine, axis_name="spp")
+        return render_tile(pack_, camera_, y0, config, rows_per_shard)
+
+    def shard_fn(pack_, camera_):
+        row_shard = jax.lax.axis_index("rows")
+        tiles = [
+            render_one(
+                pack_, camera_,
+                ((i * n_rows + row_shard) * rows_per_shard).astype(jnp.int32),
+            )
+            for i in range(tiles_per_shard)
+        ]
+        # leading axes: [rows shard = 1, tile index]
+        return jnp.stack(tiles)[None]
 
     fn = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P()),  # scene + camera replicated
-        out_specs=P("rows", None, None, None),
+        out_specs=P("rows", None, None, None, None),
     )
-    out = fn(pack, camera)
-    return out.reshape(n_rows * rows_per_shard, config.width, 4)
+    out = fn(pack, camera)  # [n_rows, tiles_per_shard, tile_h, W, 4]
+    # tile t = i * n_rows + s sits at rows [t * rows_per_shard, ...): undo
+    # the round-robin by making the tile index the slow axis
+    out = out.transpose(1, 0, 2, 3, 4)
+    return out.reshape(
+        n_rows * tiles_per_shard * rows_per_shard, config.width, 4
+    )
 
 
 def render_frame_sharded(
@@ -96,13 +117,20 @@ def render_frame_sharded(
     n_devices: int | None = None,
     n_sample_shards: int = 1,
     mesh: Mesh | None = None,
+    tiles_per_shard: int = 1,
 ) -> np.ndarray:
-    """Render the frame with rows sharded across devices."""
+    """Render the frame with rows sharded across devices.
+
+    tiles_per_shard > 1 splits each shard's rows into that many round-robin
+    tiles for load balance (ray cost concentrates where geometry is); 1 =
+    one contiguous block per shard (largest tiles, best per-tile kernel
+    efficiency)."""
     if mesh is None:
         if n_devices is None:
             n_devices = len(jax.devices())
         mesh = make_mesh(n_devices // n_sample_shards, n_sample_shards)
     n_rows = mesh.shape["rows"]
-    rows_per_shard = -(-config.height // n_rows)
-    out = _render_sharded(pack, camera, config, rows_per_shard, mesh)
+    rows_per_shard = -(-config.height // (n_rows * tiles_per_shard))
+    out = _render_sharded(pack, camera, config, rows_per_shard, mesh,
+                          tiles_per_shard)
     return np.asarray(out)[: config.height]

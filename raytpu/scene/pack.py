@@ -81,18 +81,22 @@ def flatten_world_triangles(scene: SceneData):
 
 
 def _pad_textures(textures) -> tuple[np.ndarray, np.ndarray]:
-    """Stack decoded RGBA8 textures into a padded normalized-f32 atlas.
-    Empty scenes get the reference's 1x1 dummy (src/state.rs:613-620)."""
+    """Flatten decoded RGBA8 textures into one normalized-f32 texel buffer
+    [sum(w*h), 4] plus per-texture (width, height, offset) descriptors —
+    each texture at its native footprint, like the reference's per-texture
+    GPU bindings (src/state.rs:907-916). Empty scenes get the reference's
+    1x1 dummy (src/state.rs:613-620)."""
     if not textures:
         textures = [np.zeros((1, 1, 4), np.uint8)]
-    max_h = max(t.shape[0] for t in textures)
-    max_w = max(t.shape[1] for t in textures)
-    atlas = np.zeros((len(textures), max_h, max_w, 4), np.float32)
-    sizes = np.zeros((len(textures), 2), np.int32)
+    desc = np.zeros((len(textures), 3), np.int32)
+    chunks = []
+    offset = 0
     for i, t in enumerate(textures):
-        atlas[i, : t.shape[0], : t.shape[1]] = t.astype(np.float32) / 255.0
-        sizes[i] = (t.shape[1], t.shape[0])  # (width, height)
-    return atlas, sizes
+        h, w = t.shape[0], t.shape[1]
+        desc[i] = (w, h, offset)
+        chunks.append((t.astype(np.float32) / 255.0).reshape(h * w, 4))
+        offset += h * w
+    return np.concatenate(chunks, axis=0), desc
 
 
 def _bitcast_i32_to_f32(x: np.ndarray) -> np.ndarray:

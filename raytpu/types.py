@@ -103,9 +103,10 @@ class ScenePack:
     # src/shader.wgsl:175,189); padded to >= 1 with a black light
     light_table: Any  # [L,8] f32
     n_lights_f: Any  # [] f32 — f32(UNIFORMS.lights) incl. 0-light scenes
-    # textures: padded atlas, normalized like Rgba8Unorm reads
-    tex_atlas: Any  # [Tx, maxH, maxW, 4] f32
-    tex_size: Any  # [Tx, 2] i32 (width, height)
+    # textures: flat texel buffer, normalized like Rgba8Unorm reads; each
+    # texture at native size (memory = sum of w*h, not n * max footprint)
+    tex_atlas: Any  # [N_texels, 4] f32
+    tex_size: Any  # [Tx, 3] i32 (width, height, flat offset)
     # world bounds (BVH root box) — ray-sorting keys quantise against these
     scene_bmin: Any  # [3] f32
     scene_bmax: Any  # [3] f32

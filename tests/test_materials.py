@@ -159,3 +159,34 @@ def test_instanced_mesh_two_nodes(tmp_path):
     middle = frame[16, 23:25, 0].max()
     assert left > 0 and right > 0
     assert middle == 0
+
+
+def test_texture_memory_is_sum_of_native_sizes(tmp_path):
+    """One large texture must not inflate the others' footprint: the flat
+    texel buffer stores each texture at native size (the padded-cube layout
+    would cost n_textures * max_footprint)."""
+    from raytpu.scene.pack import pack_scene
+
+    b = GlbBuilder()
+    big = np.random.default_rng(0).integers(
+        0, 255, (256, 256, 4), np.uint8
+    ).astype(np.uint8)
+    small = np.full((4, 4, 4), 128, np.uint8)
+    t0 = b.add_texture_rgba(big)
+    t1 = b.add_texture_rgba(small)
+    m0 = b.add_material(texture=t0)
+    m1 = b.add_material(texture=t1)
+    pos, nrm, uv, idx = quad(size=2.0)
+    b.add_node(mesh=b.add_mesh([(pos, nrm, uv, idx, m0, np.uint16)]))
+    b.add_node(mesh=b.add_mesh([(pos, nrm, uv, idx, m1, np.uint16)]),
+               translation=[0, 0, -1])
+    b.add_node(light=b.add_light(intensity=20.0), translation=[0, 0, -5])
+    b.add_node(camera=b.add_camera(1.0, 0.7), translation=[0, 0, 6])
+    p = str(tmp_path / "mixsize.glb")
+    b.write(p)
+    pack = pack_scene(raytpu.load_scene(p))
+    n_texels = pack.tex_atlas.shape[0]
+    assert n_texels == 256 * 256 + 4 * 4, n_texels
+    desc = np.asarray(pack.tex_size)
+    assert desc[0].tolist() == [256, 256, 0]
+    assert desc[1].tolist() == [4, 4, 256 * 256]
