@@ -49,7 +49,7 @@ def _cached_atrium(target_tris: int):
     import pickle
 
     os.makedirs(CACHE, exist_ok=True)
-    schema = 3  # bump when ScenePack layout or the scene changes
+    schema = 5  # bump when ScenePack layout or the scene changes
     key = os.path.join(CACHE, f"atrium_{target_tris}_v{schema}.pkl")
     from benchmarks.scenes import build_atrium
 

@@ -1,0 +1,262 @@
+"""Treelet decomposition of the 8-wide BVH for binned wavefront traversal.
+
+The resident packet kernel (kernels/intersect_pallas.py) walks the WHOLE
+tree once per 4096-ray packet, so each packet pays for the union of all
+its lanes' node visits — measured ~300x redundancy on incoherent bounce
+waves (docs/PROFILE_r2.md). This module cuts the tree at a frontier of
+subtrees ("treelets") of bounded VMEM footprint so the binned traversal
+path (kernels/binned.py) can instead:
+
+1. box-test every ray against the T treelet bounds (dense, vectorised);
+2. bin the (ray, treelet) hit pairs by treelet;
+3. walk each bin against ONLY its treelet's nodes — the per-packet union
+   is bounded by the treelet window, and the windows stream HBM->VMEM per
+   grid step, so scenes larger than VMEM work the same way (the TPU
+   replacement for the reference scaling to whatever the GPU holds,
+   src/state.rs:1145-1246).
+
+The frontier partitions the tree: every node row and every leaf row lands
+in exactly one treelet, so a min-combine over a ray's pair results is an
+exact closest hit.
+
+Treelet windows are uniform ([T, Sn, 128] nodes, [T, Sl, 128] leaves,
+padded with never-hit sentinels) because Pallas BlockSpec index_maps pick
+whole blocks; column 9 of each packed triangle carries its *global*
+triangle slot (bitcast int32) so hits report scene-level ids.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .bvh import BVH8_WIDTH, LEAF_SIZE, Bvh8Arrays
+
+# default per-treelet budget, in 512-byte VMEM rows (nodes + leaves).
+# Smaller treelets cull better but raise the pair count; 512 rows = 256 KiB
+# per window.
+DEFAULT_BUDGET_ROWS = 512
+
+
+@dataclass
+class TreeletArrays:
+    """Device tables for the binned traversal path.
+
+    ``tnodes[t]`` is treelet t's node window in the packet-kernel row
+    format (child k at columns [16k, 16k+16): bmin, bmax, link), except
+    links are *local*: interior -> node row within the window, leaf ->
+    ``~local_leaf_row``. Root is row 0. Padding rows carry inverted boxes.
+
+    ``tleaves[t]`` packs 8 triangles per row like ScenePack.leaf_tris but
+    widened to 128 columns, and column ``10k + 9`` of triangle k bitcasts
+    the global triangle slot (int32)."""
+
+    tnodes: np.ndarray  # [T, Sn, 128] f32
+    tleaves: np.ndarray  # [T, Sl, 128] f32
+    tbox_min: np.ndarray  # [T, 3] f32
+    tbox_max: np.ndarray  # [T, 3] f32
+    n_leaf_rows: np.ndarray  # [T] i32 — real (unpadded) leaf rows
+
+    @property
+    def n_treelets(self) -> int:
+        return int(self.tnodes.shape[0])
+
+
+def _decode(node_rows: np.ndarray):
+    """(links [N,8] i32, filled [N,8] bool, boxes [N,8,6] f32)."""
+    links = np.stack(
+        [node_rows[:, 16 * k + 6].view(np.int32) for k in range(BVH8_WIDTH)],
+        axis=1,
+    )
+    filled = np.stack(
+        [
+            node_rows[:, 16 * k + 0] <= node_rows[:, 16 * k + 3]
+            for k in range(BVH8_WIDTH)
+        ],
+        axis=1,
+    )
+    boxes = np.stack(
+        [node_rows[:, 16 * k : 16 * k + 6] for k in range(BVH8_WIDTH)],
+        axis=1,
+    )
+    return links, filled, boxes
+
+
+def _subtree_costs(links, filled):
+    """Per interior node: (node rows, leaf rows) in its subtree, inclusive.
+    Iterative post-order; no assumption on child index ordering."""
+    n = links.shape[0]
+    nrows = np.zeros(n, np.int64)
+    lrows = np.zeros(n, np.int64)
+    state = np.zeros(n, np.int8)  # 0 unvisited, 1 children pushed
+    stack = [0]
+    while stack:
+        v = stack[-1]
+        kids = [
+            links[v, k]
+            for k in range(BVH8_WIDTH)
+            if filled[v, k] and links[v, k] >= 0
+        ]
+        leaves = sum(
+            1
+            for k in range(BVH8_WIDTH)
+            if filled[v, k] and links[v, k] < 0
+        )
+        if state[v] == 0:
+            state[v] = 1
+            stack.extend(kids)
+        else:
+            stack.pop()
+            nrows[v] = 1 + sum(nrows[c] for c in kids)
+            lrows[v] = leaves + sum(lrows[c] for c in kids)
+    return nrows, lrows
+
+
+def build_treelets(
+    bvh8: Bvh8Arrays,
+    leaf_tris: np.ndarray,
+    budget_rows: int = DEFAULT_BUDGET_ROWS,
+    leaf_size: int = LEAF_SIZE,
+) -> TreeletArrays:
+    """Cut the wide tree at a frontier of subtrees whose node+leaf row
+    count fits ``budget_rows``, then emit uniform per-treelet windows."""
+    node_rows = np.asarray(bvh8.node_rows)
+    leaf_tris = np.asarray(leaf_tris)
+    links, filled, boxes = _decode(node_rows)
+    nrows, lrows = _subtree_costs(links, filled)
+
+    # scene box: union of the root's filled child boxes
+    root_kids = filled[0]
+    scene_lo = boxes[0][root_kids, 0:3].min(axis=0)
+    scene_hi = boxes[0][root_kids, 3:6].max(axis=0)
+
+    # frontier split: (link, box_lo, box_hi); leaf links always stay
+    frontier = [(np.int32(0), scene_lo, scene_hi)]
+    out = []
+    while frontier:
+        link, lo, hi = frontier.pop()
+        if link >= 0 and nrows[link] + lrows[link] > budget_rows:
+            v = int(link)
+            for k in range(BVH8_WIDTH):
+                if filled[v, k]:
+                    frontier.append(
+                        (links[v, k], boxes[v, k, 0:3], boxes[v, k, 3:6])
+                    )
+        else:
+            out.append((int(link), lo, hi))
+
+    # emit windows
+    per_nodes, per_leaves = [], []
+    for link, _, _ in out:
+        if link < 0:
+            # leaf-root treelet: synthesise a root pointing at local leaf 0
+            per_nodes.append(("leafroot",))
+            per_leaves.append([~link])
+        else:
+            # BFS the subtree, assigning local ids
+            local_nodes = [link]
+            local_leaves = []
+            node_local = {int(link): 0}
+            qi = 0
+            while qi < len(local_nodes):
+                v = int(local_nodes[qi])
+                qi += 1
+                for k in range(BVH8_WIDTH):
+                    if not filled[v, k]:
+                        continue
+                    c = int(links[v, k])
+                    if c >= 0:
+                        node_local[c] = len(local_nodes)
+                        local_nodes.append(c)
+                    else:
+                        local_leaves.append(~c)
+            per_nodes.append(("subtree", local_nodes, node_local))
+            per_leaves.append(local_leaves)
+
+    T = len(out)
+    Sn = max(
+        1 if spec[0] == "leafroot" else len(spec[1]) for spec in per_nodes
+    )
+    Sl = max(len(ls) for ls in per_leaves)
+    tnodes = np.zeros((T, Sn, 128), np.float32)
+    # padding rows / empty slots: inverted boxes (never hit)
+    for k in range(BVH8_WIDTH):
+        tnodes[:, :, 16 * k + 0 : 16 * k + 3] = 1.0
+        tnodes[:, :, 16 * k + 3 : 16 * k + 6] = -1.0
+    tleaves = np.zeros((T, Sl, 128), np.float32)
+    tbox_min = np.zeros((T, 3), np.float32)
+    tbox_max = np.zeros((T, 3), np.float32)
+    n_leaf_rows = np.zeros(T, np.int32)
+
+    lanes = leaf_tris.shape[1]
+    for t, ((link, lo, hi), spec, lls) in enumerate(
+        zip(out, per_nodes, per_leaves)
+    ):
+        tbox_min[t] = lo
+        tbox_max[t] = hi
+        n_leaf_rows[t] = len(lls)
+        # leaf windows + global tri ids in column 10k+9
+        rows = leaf_tris[np.asarray(lls, np.int64)]
+        tleaves[t, : len(lls), :lanes] = rows
+        for k in range(leaf_size):
+            tleaves[t, : len(lls), 10 * k + 9] = (
+                (np.asarray(lls, np.int64) * leaf_size + k)
+                .astype(np.int32)
+                .view(np.float32)
+            )
+        if spec[0] == "leafroot":
+            # root row: child 0 = the single leaf, box = treelet box
+            tnodes[t, 0, 0:3] = lo
+            tnodes[t, 0, 3:6] = hi
+            tnodes[t, 0, 6] = np.int32(~0).view(np.float32)
+        else:
+            _, local_nodes, node_local = spec
+            leaf_local = {g: i for i, g in enumerate(lls)}
+            for li, v in enumerate(local_nodes):
+                src = node_rows[v].copy()
+                for k in range(BVH8_WIDTH):
+                    if not filled[v, k]:
+                        continue
+                    c = int(links[v, k])
+                    loc = node_local[c] if c >= 0 else ~leaf_local[~c]
+                    src[16 * k + 6] = np.int32(loc).view(np.float32)
+                tnodes[t, li] = src
+
+    return TreeletArrays(
+        tnodes=tnodes,
+        tleaves=tleaves,
+        tbox_min=tbox_min,
+        tbox_max=tbox_max,
+        n_leaf_rows=n_leaf_rows,
+    )
+
+
+def validate_treelets(
+    tl: TreeletArrays, bvh8: Bvh8Arrays, leaf_size: int = LEAF_SIZE
+) -> None:
+    """Structural checks (used by tests): the frontier partitions the
+    tree's leaf rows; local links stay in range; global ids are valid."""
+    seen = []
+    for t in range(tl.n_treelets):
+        nl = int(tl.n_leaf_rows[t])
+        for r in range(nl):
+            for k in range(leaf_size):
+                gid = (
+                    tl.tleaves[t, r, 10 * k + 9 : 10 * k + 10]
+                    .view(np.int32)[0]
+                )
+                assert gid == (gid // leaf_size) * leaf_size + gid % leaf_size
+            seen.append(
+                int(
+                    tl.tleaves[t, r, 9:10].view(np.int32)[0]
+                ) // leaf_size
+            )
+        links, filled, _ = _decode(tl.tnodes[t])
+        interior = filled & (links >= 0)
+        leafs = filled & (links < 0)
+        assert links[interior].max(initial=0) < tl.tnodes.shape[1]
+        assert (~links[leafs]).max(initial=0) < max(nl, 1)
+    seen_arr = np.sort(np.asarray(seen))
+    assert seen_arr.shape[0] == bvh8.n_leaf_rows
+    assert (seen_arr == np.arange(bvh8.n_leaf_rows)).all()

@@ -244,16 +244,97 @@ def _sorted_query(fn, pack, ro, rd, tmin, tmax, alive, returns_hit):
     return blocked_u == 1
 
 
+def _mixed_bounce_query(
+    mixed_fn, pack, ro, rd, alive, s_ro, s_rd, s_dist, s_on, cap: float
+):
+    """One sorted mixed-packet traversal serving a bounce's continuation
+    rays AND the previous bounce's deferred NEE shadow rays (they share
+    origins, so one coherence sort and one tree walk cover both — the two
+    separate sorted queries this replaces each walked nearly the same
+    node set).
+
+    With ``cap > 0`` the walk runs in two exact rounds partitioning the
+    t line: round 1 bounds every lane to [tmin, cap) (closest) /
+    [0, min(dist, cap)] (shadow) — on enclosed scenes most bounce rays
+    resolve here against a *near* node set many times smaller than the
+    scene; round 2 re-traverses only unresolved lanes over [cap, inf)
+    with the slab near-clamp at cap culling the near ball entirely.
+
+    Returns (Hit for the continuation rays, blocked mask for the shadow
+    rays)."""
+    from ..kernels.intersect import Hit
+
+    r = ro.shape[0]
+    NEG_INF = jnp.float32(-jnp.inf)
+    tmax_c = jnp.where(alive, F32_MAX, NEG_INF)
+    tmax_s = jnp.where(s_on, s_dist, NEG_INF)
+    aro = jnp.concatenate([ro, s_ro])
+    ard = jnp.concatenate([rd, s_rd])
+    atm = jnp.concatenate([tmax_c, tmax_s])
+    smask = jnp.concatenate(
+        [jnp.zeros((r,), jnp.float32), jnp.ones((r,), jnp.float32)]
+    )
+    act = jnp.concatenate([alive, s_on])
+    key = _ray_sort_key(pack, aro, ard, act)
+    idx = jnp.arange(2 * r, dtype=jnp.int32)
+    (_, ox, oy, oz, dx, dy, dz, tm, sm, si) = jax.lax.sort(
+        (key, aro[:, 0], aro[:, 1], aro[:, 2],
+         ard[:, 0], ard[:, 1], ard[:, 2], atm, smask, idx),
+        num_keys=1,
+    )
+    so = jnp.stack([ox, oy, oz], axis=-1)
+    sd = jnp.stack([dx, dy, dz], axis=-1)
+    if cap > 0.0:
+        t1, tri1 = mixed_fn(
+            so, sd, jnp.minimum(tm, jnp.float32(cap)), sm,
+            tmin=0.001, shadow_tmin=0.0,
+        )
+        # unresolved: no hit in the near band and the true range extends
+        # past the cap (dead lanes are -inf and can never qualify)
+        unresolved = (tri1 < 0) & (tm > cap)
+
+        def far_round(_):
+            return mixed_fn(
+                so, sd, jnp.where(unresolved, tm, NEG_INF), sm,
+                tmin=cap, shadow_tmin=cap,
+            )
+
+        def no_round(_):
+            return jnp.zeros_like(t1), jnp.full_like(tri1, -1)
+
+        t2, tri2 = jax.lax.cond(
+            jnp.any(unresolved), far_round, no_round, 0
+        )
+        t = jnp.where(tri1 >= 0, t1, t2)
+        tri = jnp.where(tri1 >= 0, tri1, tri2)
+    else:
+        t, tri = mixed_fn(so, sd, tm, sm, tmin=0.001, shadow_tmin=0.0)
+    _, t_u, tri_u = jax.lax.sort((si, t, tri), num_keys=1)
+    hit = Hit(t=t_u[:r], tri=tri_u[:r], valid=tri_u[:r] >= 0)
+    blocked = tri_u[r:] >= 0
+    return hit, blocked
+
+
 def _trace_paths(
     pack: ScenePack, closest, any_hit, ro, rd, rng, bounces: int,
-    count_mask=None, mask=None, sort_bounced=False,
+    count_mask=None, mask=None, sort_bounced=False, mixed_fn=None,
+    cap: float = 0.0,
 ):
     """One full path per lane: the reference's ``pixel_color``
     (src/shader.wgsl:321-381), vectorised with masks. ``mask`` restricts
     which lanes trace at all (lanes outside return 0 radiance). With
     ``count_mask`` also returns the number of ray queries issued by masked
     lanes (1 primary + 2 per bounce iteration entered — the reference's
-    cost model, SURVEY.md §3.4)."""
+    cost model, SURVEY.md §3.4).
+
+    When ``mixed_fn`` is given (packet path on large scenes), NEE shadow
+    rays are *deferred*: bounce b's shadow query rides the same mixed
+    packet traversal as bounce b+1's continuation query
+    (_mixed_bounce_query), with one final shadow-only query after the
+    loop. Per-lane radiance additions happen in the reference's exact
+    order (a bounce's NEE contribution lands before the next bounce's
+    emissive term), so images are bit-identical to the immediate path up
+    to packet-order triangle ties."""
     r = ro.shape[0]
     # int32 is safe per call: one tile-sample counts <= R*(1+2*bounces)
     # rays (< 2^31 for any realistic tile); cross-sample/tile accumulation
@@ -275,17 +356,38 @@ def _trace_paths(
     n_lights_f = pack.n_lights_f
     NEG_INF = jnp.float32(-jnp.inf)
 
-    def bounce_step(carry, use_sort=False, use_sort_shadow=False):
-        ro, rd, rng, radiance, attenuation, alive = carry
-        # dead lanes get tmax = -inf: no path may produce hits for them
-        # (and the packet kernel drops them from box tests entirely)
-        tmax = jnp.where(alive, F32_MAX, NEG_INF)
-        if use_sort:
-            hit = _sorted_query(
-                closest, pack, ro, rd, jnp.float32(0.001), tmax, alive, True
+    def bounce_step(
+        carry, use_sort=False, use_sort_shadow=False,
+        use_mixed_query=False, defer_nee=False,
+    ):
+        if defer_nee:
+            ro, rd, rng, radiance, attenuation, alive, pend = carry
+        else:
+            ro, rd, rng, radiance, attenuation, alive = carry
+            pend = None
+        if use_mixed_query:
+            # continuation + previous bounce's deferred shadow rays in ONE
+            # sorted mixed traversal; the deferred NEE contribution lands
+            # here, BEFORE this bounce's emissive term (reference order)
+            p_p, p_dir, p_dist, p_contrib, p_on = pend
+            hit, blocked = _mixed_bounce_query(
+                mixed_fn, pack, ro, rd, alive,
+                p_p, p_dir, p_dist, p_on, cap,
+            )
+            radiance = radiance + jnp.where(
+                (p_on & ~blocked)[:, None], p_contrib, 0.0
             )
         else:
-            hit = closest(ro, rd, jnp.float32(0.001), tmax)
+            # dead lanes get tmax = -inf: no path may produce hits for them
+            # (and the packet kernel drops them from box tests entirely)
+            tmax = jnp.where(alive, F32_MAX, NEG_INF)
+            if use_sort:
+                hit = _sorted_query(
+                    closest, pack, ro, rd, jnp.float32(0.001), tmax, alive,
+                    True,
+                )
+            else:
+                hit = closest(ro, rd, jnp.float32(0.001), tmax)
         active = alive & hit.valid
 
         pos, normal, uv, mat, row = _shade_inputs(pack, ro, rd, hit)
@@ -382,42 +484,105 @@ def _trace_paths(
         to_light = lpos - p
         dist = _norm3(to_light)
         ldir = to_light / dist[:, None]
-        shadow_tmax = jnp.where(bounce_on, dist, NEG_INF)
-        if use_sort_shadow:
-            blocked = _sorted_query(
-                any_hit, pack, p, ldir, jnp.float32(0.0), shadow_tmax,
-                bounce_on, False,
-            )
-        else:
-            blocked = any_hit(p, ldir, jnp.float32(0.0), shadow_tmax)
         # radiance += (color / sqrt(dist)) / (1/N) — unattenuated (:372-374)
         contrib = (lcolor / jnp.sqrt(dist)[:, None]) / (1.0 / n_lights_f)
-        radiance = radiance + jnp.where(
-            (bounce_on & ~blocked)[:, None], contrib, 0.0
-        )
+        if defer_nee:
+            # the shadow query rides the NEXT bounce's mixed traversal (or
+            # the final shadow-only query); the contribution value is fixed
+            # here, only its visibility test is deferred
+            new_pend = (p, ldir, dist, contrib, bounce_on)
+        else:
+            shadow_tmax = jnp.where(bounce_on, dist, NEG_INF)
+            if use_sort_shadow:
+                blocked = _sorted_query(
+                    any_hit, pack, p, ldir, jnp.float32(0.0), shadow_tmax,
+                    bounce_on, False,
+                )
+            else:
+                blocked = any_hit(p, ldir, jnp.float32(0.0), shadow_tmax)
+            radiance = radiance + jnp.where(
+                (bounce_on & ~blocked)[:, None], contrib, 0.0
+            )
 
         # continue the path (:376-377)
         ro = jnp.where(bounce_on[:, None], p, ro)
         rd = jnp.where(bounce_on[:, None], scattered, rd)
+        if defer_nee:
+            return ro, rd, rng, radiance, attenuation, bounce_on, new_pend
         return ro, rd, rng, radiance, attenuation, bounce_on
 
-    carry = (ro, rd, rng, radiance, attenuation, alive)
-    for b in range(bounces):
-        # bounce rays scatter after the first hit: sort them for packet
-        # coherence. Shadow rays sort at every level — even bounce 0 mixes
-        # up to n_lights direction clusters per packet.
-        step = partial(
-            bounce_step,
-            use_sort=sort_bounced and b >= 1,
-            use_sort_shadow=sort_bounced,
+    use_mixed = mixed_fn is not None and bounces > 0
+    if use_mixed:
+        z3 = jnp.zeros_like(ro)
+        pend0 = (
+            z3, z3, zero_col[:, 0], jnp.zeros_like(radiance),
+            jnp.zeros_like(alive),
         )
-        # skip entire bounces once every lane has terminated
+        carry = (ro, rd, rng, radiance, attenuation, alive, pend0)
+    else:
+        carry = (ro, rd, rng, radiance, attenuation, alive)
+    def _guarded(step, carry, n_rays):
+        # skip entire bounces once every lane has terminated (a pending
+        # shadow query from the skipped bounce resolves after the loop)
         carry = jax.lax.cond(jnp.any(carry[5]), step, lambda c: c, carry)
         if n_rays is not None:
             counted = carry[5] & count_mask
             n_rays = n_rays + 2 * jnp.sum(counted.astype(jnp.int32))
+        return carry, n_rays
 
-    _, _, rng, radiance, attenuation, _ = carry
+    if bounces > 0:
+        # bounce 0: primary rays arrive pre-ordered (32x32 blocks); bounce
+        # rays scatter afterwards and sort for packet coherence (in mixed/
+        # binned mode the coherence machinery lives inside the query)
+        step0 = partial(
+            bounce_step,
+            use_sort=False,
+            use_sort_shadow=(not use_mixed) and sort_bounced,
+            use_mixed_query=False,
+            defer_nee=use_mixed,
+        )
+        carry, n_rays = _guarded(step0, carry, n_rays)
+    if bounces > 1:
+        # bounces 1..B-1 share one traced body: ROLL them into a fori_loop
+        # so the (large) sorted/mixed/binned query machinery appears once
+        # in the compiled program instead of once per bounce
+        stepb = partial(
+            bounce_step,
+            use_sort=(not use_mixed) and sort_bounced,
+            use_sort_shadow=(not use_mixed) and sort_bounced,
+            use_mixed_query=use_mixed,
+            defer_nee=use_mixed,
+        )
+
+        def roll(_, state):
+            return _guarded(stepb, *state)
+
+        carry, n_rays = jax.lax.fori_loop(
+            1, bounces, roll, (carry, n_rays)
+        )
+
+    if use_mixed:
+        _, _, rng, radiance, attenuation, _, pend = carry
+        p_p, p_dir, p_dist, p_contrib, p_on = pend
+
+        def resolve_last(rad):
+            shadow_tmax = jnp.where(p_on, p_dist, NEG_INF)
+            if sort_bounced:
+                blocked = _sorted_query(
+                    any_hit, pack, p_p, p_dir, jnp.float32(0.0),
+                    shadow_tmax, p_on, False,
+                )
+            else:
+                blocked = any_hit(p_p, p_dir, jnp.float32(0.0), shadow_tmax)
+            return rad + jnp.where(
+                (p_on & ~blocked)[:, None], p_contrib, 0.0
+            )
+
+        radiance = jax.lax.cond(
+            jnp.any(p_on), resolve_last, lambda rad: rad, radiance
+        )
+    else:
+        _, _, rng, radiance, attenuation, _ = carry
     if n_rays is not None:
         return radiance * attenuation, rng, n_rays
     return radiance * attenuation, rng
@@ -438,12 +603,16 @@ def _flat_shade(pack: ScenePack, closest, ro, rd):
 
 
 def _choose_intersectors(pack: ScenePack, config: RenderConfig):
-    """Resolve config.intersector; returns ((closest, any), packet_mode).
+    """Resolve config.intersector; returns ((closest, any), packet_mode,
+    mixed_fn-or-None, prefer_mixed).  prefer_mixed marks resolutions whose
+    bounce waves should ride the deferred-NEE mixed query regardless of
+    config.bounce_backend (the beyond-VMEM binned-everything path).
 
     'auto' picks the Pallas packet kernel on TPU whenever the BVH fits its
     VMEM budget, the dense brute-force sweep for small scenes elsewhere,
     and the XLA threaded-BVH loop otherwise."""
     from ..kernels.intersect_pallas import (
+        make_mixed_query,
         make_packet_intersectors,
         vmem_budget_ok,
     )
@@ -457,21 +626,70 @@ def _choose_intersectors(pack: ScenePack, config: RenderConfig):
         on_tpu = "tpu" in platform or "axon" in platform
         if on_tpu and vmem_budget_ok(pack):
             which = "packet"
+        elif on_tpu and pack.tl_nodes is not None:
+            # beyond-VMEM scenes: nothing is resident — every query
+            # (primary closest, NEE shadow, bounce waves) runs binned,
+            # with treelet windows streamed HBM->VMEM per packet. This is
+            # how the design scales to whatever HBM holds, like the
+            # reference scales to GPU memory (src/state.rs:1145-1246).
+            which = "binned"
         elif pack.n_triangles <= config.bruteforce_max_tris:
             which = "brute"
         else:
             which = "bvh"
+    if which == "binned":
+        from ..kernels.binned import (
+            make_binned_intersectors,
+            make_binned_query,
+        )
+
+        if pack.tl_nodes is None:
+            raise ValueError(
+                "intersector='binned' needs treelet tables; pack the "
+                "scene with treelets='always' (or 'auto' above 4096 "
+                "triangles)"
+            )
+        try:
+            platform = jax.devices()[0].platform.lower()
+        except Exception:
+            platform = "cpu"
+        interpret = not ("tpu" in platform or "axon" in platform)
+        return (
+            make_binned_intersectors(pack, interpret=interpret),
+            True,
+            make_binned_query(pack, interpret=interpret),
+            True,
+        )
     if which == "packet":
         try:
             platform = jax.devices()[0].platform.lower()
         except Exception:
             platform = "cpu"
         interpret = not ("tpu" in platform or "axon" in platform)
-        return make_packet_intersectors(pack, interpret=interpret), True
+        if config.bounce_backend == "binned":
+            if pack.tl_nodes is None:
+                raise ValueError(
+                    "bounce_backend='binned' needs treelet tables; pack "
+                    "the scene with treelets='always' (or 'auto' above "
+                    "4096 triangles)"
+                )
+            from ..kernels.binned import make_binned_query
+
+            mixed = make_binned_query(pack, interpret=interpret)
+        else:
+            mixed = make_mixed_query(pack, interpret=interpret)
+        return (
+            make_packet_intersectors(pack, interpret=interpret),
+            True,
+            mixed,
+            False,
+        )
     return (
         make_intersectors(
             pack, bruteforce_max_tris=config.bruteforce_max_tris, which=which
         ),
+        False,
+        None,
         False,
     )
 
@@ -523,7 +741,9 @@ def render_tile(
     device shard (parallel/shard.py spp mode) still share this one compiled
     program."""
     w, h = config.width, config.height
-    (closest, any_hit), packet_mode = _choose_intersectors(pack, config)
+    (closest, any_hit), packet_mode, mixed_fn, prefer_mixed = (
+        _choose_intersectors(pack, config)
+    )
     px, py_local, unpermute = _pixel_layout(w, tile_h, packet_mode)
     py = y0 + py_local
     if seed is None:
@@ -535,6 +755,15 @@ def render_tile(
 
     pxf = px.astype(jnp.float32)
     pyf = py.astype(jnp.float32)
+    sort_bounced = packet_mode and pack.n_triangles > 4096
+    use_mixed = sort_bounced and (
+        prefer_mixed or config.bounce_backend in ("mixed", "binned")
+    )
+    cap = (
+        config.bounce_cap_frac * pack.scene_diag
+        if config.bounce_backend == "mixed" and use_mixed
+        and config.bounce_cap_frac > 0 else 0.0
+    )
 
     def sample_body(_, carry):
         rng, acc = carry
@@ -550,7 +779,9 @@ def render_tile(
             color, rng = _trace_paths(
                 pack, closest, any_hit, ro, rd, rng, config.bounces,
                 mask=in_grid,
-                sort_bounced=packet_mode and pack.n_triangles > 4096,
+                sort_bounced=sort_bounced,
+                mixed_fn=mixed_fn if use_mixed else None,
+                cap=cap,
             )
         return rng, acc + color
 
@@ -584,7 +815,9 @@ def count_rays(
 @partial(jax.jit, static_argnames=("config", "tile_h", "valid_rows"))
 def _count_tile(pack, camera, y0, config, tile_h, valid_rows):
     w, h = config.width, config.height
-    (closest, any_hit), packet_mode = _choose_intersectors(pack, config)
+    (closest, any_hit), packet_mode, mixed_fn, prefer_mixed = (
+        _choose_intersectors(pack, config)
+    )
     px, py_local, _ = _pixel_layout(w, tile_h, packet_mode)
     py = y0 + py_local
     rng0 = rngk.seed_pixels(px, py, w, config.chunk_size, config.seed)
@@ -594,6 +827,15 @@ def _count_tile(pack, camera, y0, config, tile_h, valid_rows):
         py < y0 + valid_rows
     )
     pxf, pyf = px.astype(jnp.float32), py.astype(jnp.float32)
+    sort_bounced = packet_mode and pack.n_triangles > 4096
+    use_mixed = sort_bounced and (
+        prefer_mixed or config.bounce_backend in ("mixed", "binned")
+    )
+    cap = (
+        config.bounce_cap_frac * pack.scene_diag
+        if config.bounce_backend == "mixed" and use_mixed
+        and config.bounce_cap_frac > 0 else 0.0
+    )
 
     def body(i, carry):
         rng, totals = carry
@@ -605,7 +847,9 @@ def _count_tile(pack, camera, y0, config, tile_h, valid_rows):
         _, rng, n = _trace_paths(
             pack, closest, any_hit, ro, rd, rng, config.bounces,
             count_mask=in_grid, mask=in_grid,
-            sort_bounced=packet_mode and pack.n_triangles > 4096,
+            sort_bounced=sort_bounced,
+            mixed_fn=mixed_fn if use_mixed else None,
+            cap=cap,
         )
         return rng, totals.at[i].set(n)
 

@@ -16,11 +16,19 @@ tiles), with the whole BVH resident in VMEM:
   triangles;
 * rays enter in 32x32-pixel block order (the engine permutes the tile), so
   primary and shadow packets share most of their traversal path; bounce
-  packets are coherence-sorted by the engine (direction-major key).
+  packets are coherence-sorted by the engine (direction-octant major,
+  origin-morton minor — origin coherence dominates for bounce rays, see
+  docs/PROFILE_r2.md);
+* ray blocks arrive pre-shaped as [rows, 128] tiles (native layout, no
+  in-kernel reshape) and near-first child ordering reads lane 0 as the
+  packet representative (scalar loads, no cross-lane reductions).
 
 Closest-hit and any-hit (shadow) variants share the kernel body; any-hit
 carries a blocked mask and stops a packet as soon as every live lane is
-blocked.
+blocked. ``mixed=True`` additionally traces closest-hit and shadow lanes
+in ONE packet (per-lane mode from ``smask``) — the engine's deferred-NEE
+path fuses each bounce's shadow query into the next bounce's continuation
+traversal, which shares nearly the same node set.
 
 ``with_stats=True`` additionally returns per-packet traversal counters
 (node pops, leaf-row tests) — the occupancy diagnostic behind the packet
@@ -59,25 +67,33 @@ def _packet_kernel(
     rox_ref, roy_ref, roz_ref,  # [PPB, packet] VMEM
     rdx_ref, rdy_ref, rdz_ref,  # [PPB, packet] VMEM
     tmax_ref,  # [PPB, packet] VMEM (per-ray far; <= tmin disables the lane)
-    *refs,  # outputs t/tri [PPB, packet] (+ stats [PPB, 128]) then scratch
+    *refs,  # [smask if mixed], outputs t/tri [PPB, packet]
+    # (+ stats [PPB, 128]), then scratch
     packet: int,
     tmin: float,
     any_hit: bool,
     with_stats: bool,
+    mixed: bool,
+    shadow_tmin: float,
 ):
+    if mixed:
+        smask_ref, refs = refs[0], refs[1:]
+    else:
+        smask_ref = None
     if with_stats:
         t_ref, tri_ref, stats_ref, stack_ref = refs
     else:
         t_ref, tri_ref, stack_ref = refs
         stats_ref = None
-    n_packets = rox_ref.shape[0]
+    n_packets = rox_ref.shape[0] // (packet // 128)
 
     def run_packet(pk, _):
         _one_packet(
             nodes_ref, leaf_ref,
             rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
-            tmax_ref, t_ref, tri_ref, stats_ref, stack_ref, pk,
-            packet=packet, tmin=tmin, any_hit=any_hit,
+            tmax_ref, smask_ref, t_ref, tri_ref, stats_ref, stack_ref, pk,
+            packet=packet, tmin=tmin, any_hit=any_hit, mixed=mixed,
+            shadow_tmin=shadow_tmin,
         )
         return 0
 
@@ -87,17 +103,19 @@ def _packet_kernel(
 def _one_packet(
     nodes_ref, leaf_ref,
     rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
-    tmax_ref, t_ref, tri_ref, stats_ref, stack_ref, pk,
-    *, packet: int, tmin: float, any_hit: bool,
+    tmax_ref, smask_ref, t_ref, tri_ref, stats_ref, stack_ref, pk,
+    *, packet: int, tmin: float, any_hit: bool, mixed: bool,
+    shadow_tmin: float,
 ):
     rows = packet // 128
-    ROX = rox_ref[pk].reshape(rows, 128)
-    ROY = roy_ref[pk].reshape(rows, 128)
-    ROZ = roz_ref[pk].reshape(rows, 128)
-    RDX = rdx_ref[pk].reshape(rows, 128)
-    RDY = rdy_ref[pk].reshape(rows, 128)
-    RDZ = rdz_ref[pk].reshape(rows, 128)
-    TMAX = tmax_ref[pk].reshape(rows, 128)
+    base = pk * rows
+    ROX = rox_ref[pl.ds(base, rows), :]
+    ROY = roy_ref[pl.ds(base, rows), :]
+    ROZ = roz_ref[pl.ds(base, rows), :]
+    RDX = rdx_ref[pl.ds(base, rows), :]
+    RDY = rdy_ref[pl.ds(base, rows), :]
+    RDZ = rdz_ref[pl.ds(base, rows), :]
+    TMAX = tmax_ref[pl.ds(base, rows), :]
     # clamp exactly-zero direction components to +/-tiny: 0*inf NaNs can
     # then never appear in the slab test, so its per-axis NaN guards go
     # away (box accept/reject is unchanged: the substituted +/-1e36-scale
@@ -112,17 +130,33 @@ def _one_packet(
     IDX = 1.0 / _safe(RDX)
     IDY = 1.0 / _safe(RDY)
     IDZ = 1.0 / _safe(RDZ)
+    if mixed:
+        # mixed packets carry closest-hit lanes (open far bound) and shadow
+        # lanes (closed range [shadow_tmin, tmax], any-hit semantics) in
+        # one traversal; smask flags the shadow lanes, dead lanes are
+        # tmax = -inf as everywhere else
+        SHAD = smask_ref[pl.ds(base, rows), :] == 1.0
+        # per-lane near cutoff: closest lanes use `tmin`, shadow lanes
+        # `shadow_tmin` (the reference shoots shadow rays from t = 0,
+        # src/shader.wgsl:174-186)
+        TCUT = jnp.where(SHAD, shadow_tmin, tmin)
+        slab_tmin = min(tmin, shadow_tmin)
+    else:
+        SHAD = None
+        TCUT = None
+        slab_tmin = tmin
     NEGX = IDX < 0.0
     NEGY = IDY < 0.0
     NEGZ = IDZ < 0.0
-    # packet means for near-first child ordering
-    inv_p = 1.0 / packet
-    MOX = jnp.sum(ROX) * inv_p
-    MOY = jnp.sum(ROY) * inv_p
-    MOZ = jnp.sum(ROZ) * inv_p
-    MDX = jnp.sum(RDX) * inv_p
-    MDY = jnp.sum(RDY) * inv_p
-    MDZ = jnp.sum(RDZ) * inv_p
+    # representative ray (rays arrive coherence-sorted, so ray 0 stands in
+    # for the packet) for near-first child ordering — scalar loads, not
+    # cross-lane reductions
+    MOX = rox_ref[base, 0]
+    MOY = roy_ref[base, 0]
+    MOZ = roz_ref[base, 0]
+    MDX = rdx_ref[base, 0]
+    MDY = rdy_ref[base, 0]
+    MDZ = rdz_ref[base, 0]
 
     def slab(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz, limit):
         """Direction-sign slab test. Deliberately does NOT order-normalise
@@ -134,7 +168,7 @@ def _one_packet(
         hiy = (jnp.where(NEGY, bminy, bmaxy) - ROY) * IDY
         loz = (jnp.where(NEGZ, bmaxz, bminz) - ROZ) * IDZ
         hiz = (jnp.where(NEGZ, bminz, bmaxz) - ROZ) * IDZ
-        near = jnp.maximum(jnp.maximum(lox, loy), jnp.maximum(loz, tmin))
+        near = jnp.maximum(jnp.maximum(lox, loy), jnp.maximum(loz, slab_tmin))
         far = jnp.minimum(jnp.minimum(hix, hiy), jnp.minimum(hiz, limit))
         return near <= far
 
@@ -159,21 +193,39 @@ def _one_packet(
             qz = tvx * e1y - tvy * e1x
             v = (RDX * qx + RDY * qy + RDZ * qz) * inv
             t = (e2x * qx + e2y * qy + e2z * qz) * inv
-            ok = (
+            geo_ok = (
                 (det != 0.0)
                 & (u >= 0.0)
                 & (v >= 0.0)
                 & (u + v <= 1.0)
-                & (t >= tmin)
             )
-            if any_hit:
-                # closed range [tmin, tmax] like the hardware query
-                ok = ok & (t <= best_t)
-                best_tri = jnp.where(ok, leaf_row * LEAF_SIZE + k, best_tri)
-            else:
-                ok = ok & (t < best_t)
+            # closest-hit ties (t == best_t — shared mesh edges produce
+            # them) break to the LOWEST global triangle slot, which is
+            # what the XLA threaded walk (DFS = increasing slot) and the
+            # brute-force argmin already do — cross-engine results stay
+            # bit-identical regardless of this kernel's near-first visit
+            # order. slot is a scalar, so the extra compare is cheap.
+            slot = leaf_row * LEAF_SIZE + k
+            if mixed:
+                # closest lanes: open far bound; shadow lanes: closed
+                # range [shadow_tmin, tmax] like the hardware query
+                # (pure i1 logic — where() over bools does not lower)
+                ok = geo_ok & (t >= TCUT) & (
+                    (t < best_t)
+                    | ((t == best_t) & (SHAD | (slot < best_tri)))
+                )
                 best_t = jnp.where(ok, t, best_t)
-                best_tri = jnp.where(ok, leaf_row * LEAF_SIZE + k, best_tri)
+                best_tri = jnp.where(ok, slot, best_tri)
+            elif any_hit:
+                # closed range [tmin, tmax] like the hardware query
+                ok = geo_ok & (t >= tmin) & (t <= best_t)
+                best_tri = jnp.where(ok, slot, best_tri)
+            else:
+                ok = geo_ok & (t >= tmin) & (
+                    (t < best_t) | ((t == best_t) & (slot < best_tri))
+                )
+                best_t = jnp.where(ok, t, best_t)
+                best_tri = jnp.where(ok, slot, best_tri)
         return best_t, best_tri
 
     live = TMAX >= 0.0  # engine disables dead lanes with tmax = -inf
@@ -197,7 +249,11 @@ def _one_packet(
         sp = sp - 1
         node = stack_ref[sp]
         nrow = nodes_ref[node]
-        if any_hit:
+        if mixed:
+            # shadow lanes stop participating in box tests once blocked;
+            # closest lanes keep shrinking their limit
+            limit = jnp.where(SHAD & (best_tri >= 0), -jnp.inf, best_t)
+        elif any_hit:
             # lanes already blocked stop participating in box tests
             limit = jnp.where(best_tri >= 0, -jnp.inf, TMAX)
         else:
@@ -287,13 +343,16 @@ def _one_packet(
         _, best_t, best_tri = lax.while_loop(
             cond, body, (jnp.int32(1), best0, tri0)
         )
-    t_ref[pk] = best_t.reshape(-1)
-    tri_ref[pk] = best_tri.reshape(-1)
+    t_ref[pl.ds(base, rows), :] = best_t
+    tri_ref[pl.ds(base, rows), :] = best_tri
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tmin", "any_hit", "interpret", "packet", "with_stats"),
+    static_argnames=(
+        "tmin", "any_hit", "interpret", "packet", "with_stats", "mixed",
+        "shadow_tmin",
+    ),
 )
 def packet_query(
     node8_rows,
@@ -301,11 +360,14 @@ def packet_query(
     rox, roy, roz,
     rdx, rdy, rdz,
     tmax,
+    smask=None,
     tmin: float = 0.001,
     any_hit: bool = False,
     interpret: bool = False,
     packet: int = PACKET,
     with_stats: bool = False,
+    mixed: bool = False,
+    shadow_tmin: float = 0.0,
 ):
     """Trace R rays (packet-coherent ordering) through the 8-wide BVH.
     Returns (t, tri): t = committed distance (F32_MAX / tmax when none),
@@ -318,8 +380,21 @@ def packet_query(
     hardware query; closest-hit treats a *finite* tmax as an OPEN bound
     (t < tmax) — the engine only ever passes F32_MAX (or -inf for dead
     lanes) so the distinction is unobservable there, but callers doing
-    finite-tmax closest queries should know."""
+    finite-tmax closest queries should know. With a finite tmax and
+    ``tmin = cap``, closest-hit searches exactly the half-open band
+    [cap, tmax): the engine's capped two-round bounce traversal relies on
+    [tmin, cap) + [cap, inf) partitioning the line with no gap or overlap.
+
+    ``mixed=True`` traces closest-hit and shadow lanes in ONE packet (the
+    engine fuses a bounce's continuation rays with the previous bounce's
+    deferred NEE shadow rays — same origins, one traversal). ``smask``
+    (required, [R] f32) flags shadow lanes with 1.0: they use the closed
+    range [shadow_tmin, tmax] and stop participating once blocked, while
+    closest lanes use [tmin, tmax) and keep shrinking their bound. Dead
+    lanes are tmax = -inf in both modes. ``any_hit`` must be False when
+    mixed."""
     assert packet % 128 == 0, packet
+    assert (smask is not None) == mixed, "smask required iff mixed"
     r = rox.shape[0]
     # pad rays to a packet multiple with dead lanes (tmax = -inf)
     r_pad = -(-r // packet) * packet
@@ -332,34 +407,42 @@ def packet_query(
         rox, roy, roz = padr(rox, 0.0), padr(roy, 0.0), padr(roz, 0.0)
         rdx, rdy, rdz = padr(rdx, 1.0), padr(rdy, 1.0), padr(rdz, 1.0)
         tmax = padr(jnp.broadcast_to(tmax, (r,)), -jnp.inf)
+        if mixed:
+            smask = padr(jnp.broadcast_to(smask, (r,)), 0.0)
     n_pk = r_pad // packet
     # Mosaic requires the block's sublane dim to divide by 8 (or equal the
     # array dim): pad the packet count with dead packets (tmax = -inf, one
     # stack pop each)
     ppb = min(PACKETS_PER_BLOCK, -(-n_pk // 8) * 8)
     n_pad = -(-n_pk // ppb) * ppb
+    assert not (mixed and any_hit), "mixed packets imply per-lane modes"
     kernel = functools.partial(
         _packet_kernel, packet=packet, tmin=tmin, any_hit=any_hit,
-        with_stats=with_stats,
+        with_stats=with_stats, mixed=mixed, shadow_tmin=shadow_tmin,
     )
+    rows_per = packet // 128
     rspec = pl.BlockSpec(
-        (ppb, packet), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (ppb * rows_per, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
 
     def to2d(a, fill):
-        a = a.reshape(n_pk, packet)
+        a = a.reshape(n_pk * rows_per, 128)
         if n_pad != n_pk:
-            pad = jnp.full((n_pad - n_pk, packet), fill, a.dtype)
+            pad = jnp.full(
+                ((n_pad - n_pk) * rows_per, 128), fill, a.dtype
+            )
             a = jnp.concatenate([a, pad])
         return a
 
     args2d = [to2d(a, 0.0) for a in (rox, roy, roz)]
     args2d += [to2d(a, 1.0) for a in (rdx, rdy, rdz)]
     args2d.append(to2d(tmax, -jnp.inf))
+    if mixed:
+        args2d.append(to2d(smask, 0.0))
     out_specs = [rspec, rspec]
     out_shape = [
-        jax.ShapeDtypeStruct((n_pad, packet), jnp.float32),
-        jax.ShapeDtypeStruct((n_pad, packet), jnp.int32),
+        jax.ShapeDtypeStruct((n_pad * rows_per, 128), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad * rows_per, 128), jnp.int32),
     ]
     if with_stats:
         out_specs.append(
@@ -378,7 +461,7 @@ def packet_query(
                 leaf_tris.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
         ]
-        + [rspec] * 7,
+        + [rspec] * (8 if mixed else 7),
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
@@ -390,8 +473,8 @@ def packet_query(
         interpret=interpret,
     )(node8_rows, leaf_tris, *args2d)
     t, tri = out[0], out[1]
-    t = t[:n_pk].reshape(r_pad)[:r]
-    tri = tri[:n_pk].reshape(r_pad)[:r]
+    t = t[: n_pk * rows_per].reshape(r_pad)[:r]
+    tri = tri[: n_pk * rows_per].reshape(r_pad)[:r]
     if with_stats:
         return t, tri, out[2][:n_pk, 0]
     return t, tri
@@ -448,3 +531,23 @@ def make_packet_intersectors(pack, tmin: float = 0.001,
         return tri >= 0
 
     return closest, any_fn
+
+
+def make_mixed_query(pack, interpret: bool = False, packet: int = PACKET):
+    """Raw mixed-packet query over a ScenePack's BVH8: (ro [R,3], rd [R,3],
+    tmax [R], smask [R], tmin=, shadow_tmin=) -> (t, tri). smask flags
+    shadow lanes with 1.0 (see packet_query's mixed contract);
+    tmin/shadow_tmin must be Python floats (compile-time constants)."""
+    node8 = pack.bvh.node8_rows
+    leaves = pack.bvh.leaf_tris
+
+    def mixed(ro, rd, tmax, smask, *, tmin: float, shadow_tmin: float):
+        return packet_query(
+            node8, leaves,
+            ro[:, 0], ro[:, 1], ro[:, 2],
+            rd[:, 0], rd[:, 1], rd[:, 2],
+            tmax, smask, tmin=tmin, shadow_tmin=shadow_tmin, mixed=True,
+            interpret=interpret, packet=packet,
+        )
+
+    return mixed

@@ -103,8 +103,13 @@ def _bitcast_i32_to_f32(x: np.ndarray) -> np.ndarray:
     return x.astype(np.int32).view(np.float32)
 
 
-def pack_scene(scene: SceneData, leaf_size: int = LEAF_SIZE) -> ScenePack:
-    """Build the device ScenePack (including the software BVH)."""
+def pack_scene(
+    scene: SceneData, leaf_size: int = LEAF_SIZE, treelets: str = "auto"
+) -> ScenePack:
+    """Build the device ScenePack (including the software BVH).
+
+    ``treelets``: "auto" builds the binned-path treelet tables for scenes
+    past the bounce-sort threshold, "always"/"never" force it."""
     p0, e1, e2, vi, mat, obj = flatten_world_triangles(scene)
 
     bvh, bvh8 = build_bvh(p0, e1, e2, leaf_size=leaf_size)
@@ -224,6 +229,14 @@ def pack_scene(scene: SceneData, leaf_size: int = LEAF_SIZE) -> ScenePack:
 
     atlas, sizes = _pad_textures(scene.textures)
 
+    # treelet tables for the binned wavefront path: only useful past the
+    # engine's sorted-bounce threshold (render.py: n_triangles > 4096)
+    tl = None
+    if treelets == "always" or (treelets == "auto" and n_slots > 4096):
+        from ..accel.treelets import build_treelets
+
+        tl = build_treelets(bvh8, leaf_tris)
+
     return ScenePack(
         tri_p0=jnp.asarray(tri_p0),
         tri_e1=jnp.asarray(tri_e1),
@@ -243,6 +256,11 @@ def pack_scene(scene: SceneData, leaf_size: int = LEAF_SIZE) -> ScenePack:
             leaf_tris=jnp.asarray(leaf_tris),
         ),
         has_textures=len(scene.textures) > 0,
+        scene_diag=float(np.linalg.norm(bvh.bmax[0] - bvh.bmin[0])),
+        tl_nodes=None if tl is None else jnp.asarray(tl.tnodes),
+        tl_leaves=None if tl is None else jnp.asarray(tl.tleaves),
+        tl_bmin=None if tl is None else jnp.asarray(tl.tbox_min),
+        tl_bmax=None if tl is None else jnp.asarray(tl.tbox_max),
     )
 
 

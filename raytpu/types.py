@@ -46,6 +46,21 @@ class RenderConfig:
     tile_rows: Optional[int] = None  # rows per render tile; None = auto
     bruteforce_max_tris: int = 2048  # scenes at/below this skip the BVH
     intersector: str = "auto"  # "auto" | "brute" | "bvh"
+    # how the packet path traverses bounce-wave queries:
+    #   "sorted" — separate coherence-sorted continuation + shadow queries
+    #   "mixed"  — each bounce's NEE shadow query is deferred and rides the
+    #              next bounce's continuation traversal in one mixed packet
+    #              (measured perf-neutral-to-negative end-to-end on the
+    #              atrium headline despite standalone wins, docs/
+    #              PROFILE_r2.md — kept as the measured A/B arm)
+    #   "binned" — deferred-NEE rays are binned by treelet and walk only
+    #              their treelet's streamed window (kernels/binned.py)
+    bounce_backend: str = "sorted"
+    # mixed backend only: bounce rays first traverse with tmax capped to
+    # this fraction of the scene diagonal; only rays that miss within the
+    # cap re-traverse the far band [cap, inf) — exact (the rounds
+    # partition the t line). 0 disables capping.
+    bounce_cap_frac: float = 0.15
 
 
 def _pytree_dataclass(meta_fields=()):
@@ -80,7 +95,7 @@ class BvhPack:
     leaf_tris: Any  # [Nl, 80] f32
 
 
-@_pytree_dataclass(meta_fields=("has_textures",))
+@_pytree_dataclass(meta_fields=("has_textures", "scene_diag"))
 @dataclass(frozen=True)
 class ScenePack:
     """Device-resident scene. All shapes are static; counts derive from
@@ -116,6 +131,15 @@ class ScenePack:
     # renderer skip sampling entirely (the reference binds a dummy 1x1
     # texture in that case, src/state.rs:613-620)
     has_textures: bool = False
+    # static: host-side length of the scene bounding-box diagonal; the
+    # engine derives the (compile-time) bounce traversal cap from it
+    scene_diag: float = 0.0
+    # treelet tables for the binned wavefront path (accel/treelets.py,
+    # kernels/binned.py); None when packed without treelets (small scenes)
+    tl_nodes: Any = None  # [T, Sn, 128] f32
+    tl_leaves: Any = None  # [T, Sl, 128] f32 (col 10k+9 = bitcast slot)
+    tl_bmin: Any = None  # [T, 3] f32
+    tl_bmax: Any = None  # [T, 3] f32
 
     @property
     def n_triangles(self) -> int:

@@ -229,6 +229,77 @@ def test_packet_kernel_matches_bruteforce_interpret():
     assert not blocked_pal[~live].any()
 
 
+def test_mixed_packet_matches_separate_queries_interpret():
+    """mixed=True traces closest-hit and shadow lanes in one packet; the
+    results must equal the separate closest / any-hit queries lane for
+    lane, and the capped two-round scheme ([tmin, cap) then [cap, inf))
+    must reproduce the single-round answer exactly."""
+    from raytpu.kernels.intersect_pallas import PACKET, packet_query
+
+    rng = np.random.default_rng(11)
+    a, b, c = _random_soup(300, rng)
+    bvh, bpack, rp0, re1, re2 = _build_bvh_pack(a, b - a, c - a)
+
+    n = PACKET  # half closest, half shadow
+    h = n // 2
+    ro = jnp.asarray(rng.uniform(-8, 8, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    rd = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+    sdist = rng.uniform(1, 20, h).astype(np.float32)
+    sdist[::9] = -np.inf  # dead shadow lanes
+    tmax = np.full(n, float(F32_MAX), np.float32)
+    tmax[h:] = sdist
+    tmax[5] = -np.inf  # a dead closest lane
+    smask = np.zeros(n, np.float32)
+    smask[h:] = 1.0
+
+    args = (bpack.node8_rows, bpack.leaf_tris,
+            ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2])
+    t_m, tri_m = packet_query(
+        *args, jnp.asarray(tmax), jnp.asarray(smask),
+        tmin=0.001, mixed=True, shadow_tmin=0.0, interpret=True,
+    )
+    # reference: separate closest on the first half ...
+    ctmax = np.full(n, float(F32_MAX), np.float32)
+    ctmax[5] = -np.inf
+    ctmax[h:] = -np.inf
+    t_c, tri_c = packet_query(
+        *args, jnp.asarray(ctmax), tmin=0.001, interpret=True,
+    )
+    # ... and any-hit on the second half
+    atmax = np.full(n, -np.inf, np.float32)
+    atmax[h:] = sdist
+    _, tri_a = packet_query(
+        *args, jnp.asarray(atmax), tmin=0.0, any_hit=True, interpret=True,
+    )
+    tri_m, t_m = np.asarray(tri_m), np.asarray(t_m)
+    np.testing.assert_array_equal(tri_m[:h], np.asarray(tri_c)[:h])
+    np.testing.assert_array_equal(t_m[:h], np.asarray(t_c)[:h])
+    np.testing.assert_array_equal(
+        tri_m[h:] >= 0, np.asarray(tri_a)[h:] >= 0
+    )
+
+    # capped two rounds == one uncapped round, lane for lane
+    cap = 6.0
+    t1, tri1 = packet_query(
+        *args, jnp.minimum(jnp.asarray(tmax), cap), jnp.asarray(smask),
+        tmin=0.001, mixed=True, shadow_tmin=0.0, interpret=True,
+    )
+    unresolved = (np.asarray(tri1) < 0) & (tmax > cap)
+    t2, tri2 = packet_query(
+        *args,
+        jnp.asarray(np.where(unresolved, tmax, -np.inf).astype(np.float32)),
+        jnp.asarray(smask), tmin=cap, mixed=True, shadow_tmin=cap,
+        interpret=True,
+    )
+    t12 = np.where(np.asarray(tri1) >= 0, np.asarray(t1), np.asarray(t2))
+    tri12 = np.where(np.asarray(tri1) >= 0, np.asarray(tri1),
+                     np.asarray(tri2))
+    np.testing.assert_array_equal(tri12[:h], tri_m[:h])
+    np.testing.assert_array_equal(t12[:h], t_m[:h])
+    np.testing.assert_array_equal(tri12[h:] >= 0, tri_m[h:] >= 0)
+
+
 def test_native_builder_matches_python_renders():
     """The C++ builder (raytpu/native) may tie-break SAH splits differently
     from the Python reference builder, but any valid BVH must produce the
