@@ -49,7 +49,7 @@ def _cached_atrium(target_tris: int):
     import pickle
 
     os.makedirs(CACHE, exist_ok=True)
-    schema = 5  # bump when ScenePack layout or the scene changes
+    schema = 6  # bump when ScenePack layout or the scene changes
     key = os.path.join(CACHE, f"atrium_{target_tris}_v{schema}.pkl")
     from benchmarks.scenes import build_atrium
 
@@ -119,8 +119,11 @@ def bench_config(name, pack, cam, cfg, repeats=3):
     tile_h = _auto_tile_rows(cfg, pack.n_triangles)
 
     def make_device_frame(inner):
+        # pack/cam enter as jit ARGUMENTS: captured device arrays would be
+        # serialised into the compile request as literals (hundreds of MB
+        # for treelet tables) and can exceed the remote-compile size limit
         @jax.jit
-        def device_frame():
+        def device_frame(pack, cam):
             total = jnp.float32(0.0)
             for _ in range(inner):
                 # chain iterations through y0 so XLA cannot CSE them
@@ -131,7 +134,7 @@ def bench_config(name, pack, cam, cfg, repeats=3):
                     total = total + jnp.sum(tile)
             return total
 
-        return device_frame
+        return lambda: device_frame(pack, cam)
 
     frame1 = make_device_frame(1)
     t0 = time.time()

@@ -201,7 +201,7 @@ def main():
     btmax = jnp.where(alive, 3.4e38, -jnp.inf)
     log(f"[profile] bounce set: {float(jnp.mean(alive))*100:.0f}% lanes alive")
 
-    for mode in ("none", "octant18", "dir4", "dir6"):
+    for mode in ("none", "octant18", "origin_major", "dir6"):
         sro, srd = sort_rays(pack, bro, brd, mode)
         # dead lanes were folded in already via btmax=-inf on unsorted;
         # after sort we lose the pairing, so time all-alive worst case

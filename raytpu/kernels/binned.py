@@ -283,14 +283,18 @@ def _binned_launch(
 
 
 def make_binned_query(pack, interpret: bool = False,
-                      packet: int = BIN_PACKET):
+                      packet: int = BIN_PACKET,
+                      max_rounds: int | None = None):
     """Mixed-mode query over the ScenePack's treelet tables with the
     engine's mixed_fn signature: (ro [R,3], rd [R,3], tmax [R], smask [R],
     tmin=, shadow_tmin=) -> (t [R], tri [R]).
 
     Per-lane modes match the resident mixed kernel: smask==1 lanes are
     any-hit shadow queries over the closed range [shadow_tmin, tmax],
-    others closest-hit over [tmin, tmax). Dead lanes use tmax = -inf."""
+    others closest-hit over [tmin, tmax). Dead lanes use tmax = -inf.
+
+    ``max_rounds`` truncates the round loop (diagnostics/benchmarks ONLY —
+    results are exact only when the loop runs to convergence)."""
     tnodes = pack.tl_nodes
     tleaves = pack.tl_leaves
     tb_min = pack.tl_bmin  # [T, 3]
@@ -299,8 +303,11 @@ def make_binned_query(pack, interpret: bool = False,
 
     # rays per selection chunk: the [chunk, T] slab/selection temps are the
     # peak memory of the whole query (a 2M-ray wave against 100+ treelets
-    # would otherwise materialise multi-GB [R, T] arrays and OOM HBM)
-    SELECT_CHUNK = 262144
+    # would otherwise materialise multi-GB [R, T] arrays and OOM HBM).
+    # Bounded in ELEMENTS so many-treelet scenes shrink the chunk.
+    SELECT_CHUNK = max(
+        4096, min(262144, ((1 << 25) // max(T, 1)) // 128 * 128)
+    )
 
     def query(ro, rd, tmax, smask, *, tmin: float, shadow_tmin: float):
         r = ro.shape[0]
@@ -377,18 +384,28 @@ def make_binned_query(pack, interpret: bool = False,
         n_packets = cap // packet
 
         def round_body(state):
-            best_t, best_tri, last_t, last_tid, sel, sel_t, valid = state
+            (best_t, best_tri, last_t, last_tid, sel, sel_t, valid,
+             _nround) = state
             # --- bin: sort (treelet, ray), rank within bin, scatter to
             # packet-aligned slots
+            # NOTE on scatters: XLA TPU serialises scatters it cannot
+            # prove collision-free — a plain bincount/.at[].set over 100k+
+            # indices costs SECONDS. Counts therefore come from binary
+            # searches over the sorted keys, and every scatter passes
+            # unique_indices (pos is strictly increasing; sorted_ray is a
+            # permutation).
             skey = jnp.where(valid, sel, T)
             order_idx = jnp.arange(r, dtype=jnp.int32)
             sorted_key, sorted_ray = lax.sort((skey, order_idx), num_keys=1)
-            counts = jnp.bincount(skey, length=T + 1)[:T]
+            bin_first = jnp.searchsorted(
+                sorted_key, jnp.arange(T + 1, dtype=jnp.int32), side="left"
+            ).astype(jnp.int32)
+            counts = bin_first[1:] - bin_first[:-1]  # [T]
             padded = -(-counts // packet) * packet
             cum = jnp.cumsum(padded)
             offs = cum - padded
-            seg_first = jnp.searchsorted(sorted_key, sorted_key, side="left")
-            rank = order_idx - seg_first.astype(jnp.int32)
+            seg_first = bin_first[jnp.minimum(sorted_key, T - 1)]
+            rank = order_idx - seg_first
             pos = jnp.where(
                 sorted_key < T,
                 offs[jnp.minimum(sorted_key, T - 1)].astype(jnp.int32) + rank,
@@ -401,33 +418,55 @@ def make_binned_query(pack, interpret: bool = False,
             )
             tidpp = jnp.minimum(tidpp, T - 1)
 
-            g = jnp.full((cap + 1,), -1, jnp.int32).at[pos].set(sorted_ray)
+            g = jnp.full((cap + 1,), -1, jnp.int32).at[pos].set(
+                sorted_ray, unique_indices=True, indices_are_sorted=True
+            )
             g = g[:cap]
             alive_slot = g >= 0
             gi = jnp.maximum(g, 0)
 
-            def gath(a, fill):
-                return jnp.where(alive_slot, a[gi], fill)
-
+            # ONE row gather moves all per-ray state (element gathers on
+            # TPU run at ~2% of HBM bandwidth; row-gather cost is flat in
+            # row width — the tri_row principle, raytpu.types)
+            # int columns ride the float row as VALUES (exact for
+            # |v| < 2^24 — triangle slots are far below; a bitcast would
+            # turn -1 into a NaN whose payload XLA may not preserve)
+            ray_rows = jnp.concatenate(
+                [
+                    ro, rd,
+                    jnp.where(shadow, tmax, best_t)[:, None],
+                    smask[:, None],
+                    best_tri.astype(jnp.float32)[:, None],
+                ],
+                axis=1,
+            )  # [r, 9]
+            rows = ray_rows[gi]  # [cap, 9]
             t_out, tri_out = _binned_launch(
                 tnodes, tleaves, tidpp,
-                gath(ro[:, 0], 0.0), gath(ro[:, 1], 0.0),
-                gath(ro[:, 2], 0.0),
-                gath(rd[:, 0], 1.0), gath(rd[:, 1], 1.0),
-                gath(rd[:, 2], 1.0),
-                gath(jnp.where(shadow, tmax, best_t), -jnp.inf),
-                gath(smask, 0.0),
-                gath(best_tri, -1),
+                rows[:, 0], rows[:, 1], rows[:, 2],
+                rows[:, 3], rows[:, 4], rows[:, 5],
+                jnp.where(alive_slot, rows[:, 6], -jnp.inf),
+                rows[:, 7],
+                rows[:, 8].astype(jnp.int32),
                 tmin=tmin, shadow_tmin=shadow_tmin, packet=packet,
                 interpret=interpret,
             )
             # fold back: each valid ray's result lives at its scatter slot
-            pos_by_ray = jnp.full((r,), cap, jnp.int32).at[sorted_ray].set(
-                jnp.where(sorted_key < T, pos, cap)
+            # (a second key sort beats a scatter: sorted_ray is a
+            # permutation, so sorting by it restores ray order); one row
+            # gather again for (t, tri)
+            _, pos_by_ray = lax.sort(
+                (sorted_ray, jnp.where(sorted_key < T, pos, cap)),
+                num_keys=1,
             )
             safe_pos = jnp.minimum(pos_by_ray, cap - 1)
-            new_t = jnp.where(valid, t_out[safe_pos], best_t)
-            new_tri = jnp.where(valid, tri_out[safe_pos], best_tri)
+            out_rows = jnp.stack(
+                [t_out, tri_out.astype(jnp.float32)], axis=1
+            )[safe_pos]  # [r, 2]
+            new_t = jnp.where(valid, out_rows[:, 0], best_t)
+            new_tri = jnp.where(
+                valid, out_rows[:, 1].astype(jnp.int32), best_tri
+            )
             # shadow lanes keep t = tmax semantics; closest lanes carry
             # the improved bound forward
             best_t = jnp.where(shadow, best_t, new_t)
@@ -435,10 +474,14 @@ def make_binned_query(pack, interpret: bool = False,
             last_t = jnp.where(valid, sel_t, last_t)
             last_tid = jnp.where(valid, sel, last_tid)
             nsel, nsel_t, nvalid = select(best_t, best_tri, last_t, last_tid)
-            return best_t, best_tri, last_t, last_tid, nsel, nsel_t, nvalid
+            return (best_t, best_tri, last_t, last_tid, nsel, nsel_t, nvalid,
+                    state[7] + 1)
 
         def round_cond(state):
-            return jnp.any(state[6])
+            more = jnp.any(state[6])
+            if max_rounds is not None:
+                more = more & (state[7] < max_rounds)
+            return more
 
         best_t0 = jnp.minimum(jnp.full((r,), F32_MAX), tmax)
         best_tri0 = jnp.full((r,), -1, jnp.int32)
@@ -447,7 +490,8 @@ def make_binned_query(pack, interpret: bool = False,
         sel0, sel_t0, valid0 = select(best_t0, best_tri0, last_t0, last_tid0)
         best_t, best_tri, *_ = lax.while_loop(
             round_cond, round_body,
-            (best_t0, best_tri0, last_t0, last_tid0, sel0, sel_t0, valid0),
+            (best_t0, best_tri0, last_t0, last_tid0, sel0, sel_t0, valid0,
+             jnp.int32(0)),
         )
         return best_t, best_tri
 
