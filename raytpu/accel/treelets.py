@@ -34,9 +34,11 @@ import numpy as np
 from .bvh import BVH8_WIDTH, LEAF_SIZE, Bvh8Arrays
 
 # default per-treelet budget, in 512-byte VMEM rows (nodes + leaves).
-# Smaller treelets cull better but raise the pair count; 512 rows = 256 KiB
-# per window.
-DEFAULT_BUDGET_ROWS = 512
+# Smaller treelets cull better but raise per-ray candidate counts (and so
+# the binned round count); an 8-wide split lands subtree costs in roughly
+# (budget/8, budget]. 2048 rows = 1 MiB per window, ~tens of treelets for
+# a 250k-triangle scene, candidate counts p99 <= ~8.
+DEFAULT_BUDGET_ROWS = 2048
 
 
 @dataclass

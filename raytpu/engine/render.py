@@ -543,9 +543,14 @@ def _trace_paths(
         )
         carry, n_rays = _guarded(step0, carry, n_rays)
     if bounces > 1:
-        # bounces 1..B-1 share one traced body: ROLL them into a fori_loop
-        # so the (large) sorted/mixed/binned query machinery appears once
-        # in the compiled program instead of once per bounce
+        # bounces 1..B-1 share one traced body: by default ROLL them into
+        # a fori_loop so the (large) sorted/mixed/binned query machinery
+        # appears once in the compiled program instead of once per bounce.
+        # RAYTPU_UNROLL_BOUNCES=1 keeps the python unroll (A/B knob:
+        # rolling shrinks compile time/size several-fold but may cost
+        # runtime by blocking cross-bounce XLA optimisation).
+        import os
+
         stepb = partial(
             bounce_step,
             use_sort=(not use_mixed) and sort_bounced,
@@ -553,13 +558,17 @@ def _trace_paths(
             use_mixed_query=use_mixed,
             defer_nee=use_mixed,
         )
+        if os.environ.get("RAYTPU_UNROLL_BOUNCES"):
+            for _ in range(1, bounces):
+                carry, n_rays = _guarded(stepb, carry, n_rays)
+        else:
 
-        def roll(_, state):
-            return _guarded(stepb, *state)
+            def roll(_, state):
+                return _guarded(stepb, *state)
 
-        carry, n_rays = jax.lax.fori_loop(
-            1, bounces, roll, (carry, n_rays)
-        )
+            carry, n_rays = jax.lax.fori_loop(
+                1, bounces, roll, (carry, n_rays)
+            )
 
     if use_mixed:
         _, _, rng, radiance, attenuation, _, pend = carry

@@ -84,14 +84,6 @@ def _binned_packet_kernel(
     NEGX = IDX < 0.0
     NEGY = IDY < 0.0
     NEGZ = IDZ < 0.0
-    # lane-0 representative for near-first child ordering (rays arrive
-    # bin-coherent)
-    MOX = rox_ref[0, 0]
-    MOY = roy_ref[0, 0]
-    MOZ = roz_ref[0, 0]
-    MDX = rdx_ref[0, 0]
-    MDY = rdy_ref[0, 0]
-    MDZ = rdz_ref[0, 0]
 
     def slab(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz, limit):
         lox = (jnp.where(NEGX, bmaxx, bminx) - ROX) * IDX
@@ -158,7 +150,9 @@ def _binned_packet_kernel(
         node = stack_ref[sp]
         nrow = nodes_ref[0, node]
         limit = jnp.where(SHAD & (best_tri >= 0), -jnp.inf, best_t)
-        links, anys, leafs, prios = [], [], [], []
+        # ONE fused slab/push/leaf pass in storage order (near-first
+        # ordering measured a net scalar-cost loss, docs/PROFILE_r2.md;
+        # the lowest-slot tie break keeps results order-independent)
         for k in range(BVH8_WIDTH):
             c = 16 * k
             link = lax.bitcast_convert_type(
@@ -169,46 +163,23 @@ def _binned_packet_kernel(
                 nrow[c + 3], nrow[c + 4], nrow[c + 5],
                 limit,
             )
-            cx = (nrow[c + 0] + nrow[c + 3]) * 0.5
-            cy = (nrow[c + 1] + nrow[c + 4]) * 0.5
-            cz = (nrow[c + 2] + nrow[c + 5]) * 0.5
-            prio = (cx - MOX) * MDX + (cy - MOY) * MDY + (cz - MOZ) * MDZ
-            links.append(link)
-            anys.append(jnp.any(hit))
-            leafs.append(link < 0)
-            prios.append(prio)
+            any_k = jnp.any(hit)
+            is_leaf = link < 0
+            push = any_k & jnp.logical_not(is_leaf)
+            slot = jnp.minimum(sp, STACK_DEPTH - 1)
 
-        lo = prios[0]
-        hi = prios[0]
-        for k in range(1, BVH8_WIDTH):
-            lo = jnp.minimum(lo, prios[k])
-            hi = jnp.maximum(hi, prios[k])
-        pivot = (lo + hi) * 0.5
+            @pl.when(push)
+            def _():
+                stack_ref[slot] = link
 
-        for far in (True, False):
-            for k in range(BVH8_WIDTH):
-                in_bucket = (prios[k] > pivot) if far else (prios[k] <= pivot)
-                push = anys[k] & jnp.logical_not(leafs[k]) & in_bucket
-                link = links[k]
-                slot = jnp.minimum(sp, STACK_DEPTH - 1)
-
-                @pl.when(push)
-                def _():
-                    stack_ref[slot] = link
-
-                sp = jnp.minimum(sp + push.astype(jnp.int32), STACK_DEPTH - 1)
-
-        for far in (False, True):
-            for k in range(BVH8_WIDTH):
-                in_bucket = (prios[k] > pivot) if far else (prios[k] <= pivot)
-                link = links[k]
-                do_leaf = anys[k] & leafs[k] & in_bucket
-                best_t, best_tri = lax.cond(
-                    do_leaf,
-                    lambda bt, bi, link=link: leaf_test(~link, bt, bi),
-                    lambda bt, bi: (bt, bi),
-                    best_t, best_tri,
-                )
+            sp = jnp.minimum(sp + push.astype(jnp.int32), STACK_DEPTH - 1)
+            do_leaf = any_k & is_leaf
+            best_t, best_tri = lax.cond(
+                do_leaf,
+                lambda bt, bi, link=link: leaf_test(~link, bt, bi),
+                lambda bt, bi: (bt, bi),
+                best_t, best_tri,
+            )
         return sp, best_t, best_tri
 
     stack_ref[0] = jnp.int32(0)

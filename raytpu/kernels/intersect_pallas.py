@@ -17,11 +17,13 @@ tiles), with the whole BVH resident in VMEM:
 * rays enter in 32x32-pixel block order (the engine permutes the tile), so
   primary and shadow packets share most of their traversal path; bounce
   packets are coherence-sorted by the engine (direction-octant major,
-  origin-morton minor — origin coherence dominates for bounce rays, see
-  docs/PROFILE_r2.md);
+  origin-morton minor — the best of the swept keys, docs/PROFILE_r2.md);
 * ray blocks arrive pre-shaped as [rows, 128] tiles (native layout, no
-  in-kernel reshape) and near-first child ordering reads lane 0 as the
-  packet representative (scalar loads, no cross-lane reductions).
+  in-kernel reshape); children are visited near-first (packet-
+  representative ordering) by default — the ``ordered`` flag selects a
+  cheaper fused storage-order pass, which wins on synthetic ray sets but
+  loses on real engine waves (docs/PROFILE_r2.md). The lowest-slot tie
+  break makes results identical either way.
 
 Closest-hit and any-hit (shadow) variants share the kernel body; any-hit
 carries a blocked mask and stops a packet as soon as every live lane is
@@ -75,6 +77,7 @@ def _packet_kernel(
     with_stats: bool,
     mixed: bool,
     shadow_tmin: float,
+    ordered: bool,
 ):
     if mixed:
         smask_ref, refs = refs[0], refs[1:]
@@ -93,7 +96,7 @@ def _packet_kernel(
             rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
             tmax_ref, smask_ref, t_ref, tri_ref, stats_ref, stack_ref, pk,
             packet=packet, tmin=tmin, any_hit=any_hit, mixed=mixed,
-            shadow_tmin=shadow_tmin,
+            shadow_tmin=shadow_tmin, ordered=ordered,
         )
         return 0
 
@@ -105,7 +108,7 @@ def _one_packet(
     rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
     tmax_ref, smask_ref, t_ref, tri_ref, stats_ref, stack_ref, pk,
     *, packet: int, tmin: float, any_hit: bool, mixed: bool,
-    shadow_tmin: float,
+    shadow_tmin: float, ordered: bool,
 ):
     rows = packet // 128
     base = pk * rows
@@ -148,15 +151,15 @@ def _one_packet(
     NEGX = IDX < 0.0
     NEGY = IDY < 0.0
     NEGZ = IDZ < 0.0
-    # representative ray (rays arrive coherence-sorted, so ray 0 stands in
-    # for the packet) for near-first child ordering — scalar loads, not
-    # cross-lane reductions
-    MOX = rox_ref[base, 0]
-    MOY = roy_ref[base, 0]
-    MOZ = roz_ref[base, 0]
-    MDX = rdx_ref[base, 0]
-    MDY = rdy_ref[base, 0]
-    MDZ = rdz_ref[base, 0]
+    if ordered:
+        # representative ray (rays arrive coherence-sorted, so ray 0
+        # stands in for the packet) for near-first child ordering
+        MOX = rox_ref[base, 0]
+        MOY = roy_ref[base, 0]
+        MOZ = roz_ref[base, 0]
+        MDX = rdx_ref[base, 0]
+        MDY = rdy_ref[base, 0]
+        MDZ = rdz_ref[base, 0]
 
     def slab(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz, limit):
         """Direction-sign slab test. Deliberately does NOT order-normalise
@@ -258,7 +261,56 @@ def _one_packet(
             limit = jnp.where(best_tri >= 0, -jnp.inf, TMAX)
         else:
             limit = best_t
-        # pass 1: slab-test all 8 children; record links and near-priority
+        if not ordered:
+            # ONE fused pass in storage order: slab-test each child, then
+            # push/leaf-test it immediately. For CLOSEST-hit walks the
+            # near-first ordering's per-visit scalar work (centroid
+            # extracts, pivot, 16 bucketed cond sites) costs more than
+            # its earlier best-t shrink saves: bounce waves 2.28 -> 3.36
+            # Mrays/s, primary 16.8 -> 22.7 (docs/PROFILE_r2.md). Results
+            # are order-independent thanks to the lowest-slot tie break.
+            for k in range(BVH8_WIDTH):
+                c = 16 * k
+                link = lax.bitcast_convert_type(
+                    nrow[c + 6 : c + 7], jnp.int32
+                )[0]
+                hit = slab(
+                    nrow[c + 0], nrow[c + 1], nrow[c + 2],
+                    nrow[c + 3], nrow[c + 4], nrow[c + 5],
+                    limit,
+                )
+                any_k = jnp.any(hit)
+                is_leaf = link < 0
+                push = any_k & jnp.logical_not(is_leaf)
+                # clamp guards SMEM against overflow on adversarial trees
+                # (pack.py asserts the depth bound, so this never fires
+                # for built scenes; an overflowing push drops a subtree
+                # rather than corrupting the stack)
+                slot = jnp.minimum(sp, STACK_DEPTH - 1)
+
+                @pl.when(push)
+                def _():
+                    stack_ref[slot] = link
+
+                sp = jnp.minimum(
+                    sp + push.astype(jnp.int32), STACK_DEPTH - 1
+                )
+                do_leaf = any_k & is_leaf
+                best_t, best_tri = lax.cond(
+                    do_leaf,
+                    lambda bt, bi, link=link: leaf_test(~link, bt, bi),
+                    lambda bt, bi: (bt, bi),
+                    best_t, best_tri,
+                )
+                if n_leafs is not None:
+                    n_leafs = n_leafs + do_leaf.astype(jnp.int32)
+            if stats_ref is not None:
+                return sp, best_t, best_tri, n_pops, n_leafs
+            return sp, best_t, best_tri
+
+        # ordered (near-first) walk — ANY-HIT queries keep it: finding a
+        # blocker early kills lanes (limit -> -inf) and whole packets,
+        # which outweighs the ordering's scalar cost for shadow waves
         links, anys, leafs, prios = [], [], [], []
         for k in range(BVH8_WIDTH):
             c = 16 * k
@@ -286,16 +338,12 @@ def _one_packet(
             hi = jnp.maximum(hi, prios[k])
         pivot = (lo + hi) * 0.5
 
-        # pass 2: push far interior children first, near last (popped first)
+        # push far interior children first (near popped first)
         for far in (True, False):
             for k in range(BVH8_WIDTH):
                 in_bucket = (prios[k] > pivot) if far else (prios[k] <= pivot)
                 push = anys[k] & jnp.logical_not(leafs[k]) & in_bucket
                 link = links[k]
-                # clamp guards SMEM against overflow on adversarial trees
-                # (pack.py asserts the depth bound, so this never fires for
-                # built scenes; an overflowing push drops a subtree rather
-                # than corrupting the stack)
                 slot = jnp.minimum(sp, STACK_DEPTH - 1)
 
                 @pl.when(push)
@@ -306,7 +354,7 @@ def _one_packet(
                     sp + push.astype(jnp.int32), STACK_DEPTH - 1
                 )
 
-        # pass 3: leaf tests, near bucket first (shrinks best_t sooner)
+        # leaf tests, near bucket first (blocks lanes sooner)
         for far in (False, True):
             for k in range(BVH8_WIDTH):
                 in_bucket = (prios[k] > pivot) if far else (prios[k] <= pivot)
@@ -351,7 +399,7 @@ def _one_packet(
     jax.jit,
     static_argnames=(
         "tmin", "any_hit", "interpret", "packet", "with_stats", "mixed",
-        "shadow_tmin",
+        "shadow_tmin", "ordered",
     ),
 )
 def packet_query(
@@ -368,6 +416,7 @@ def packet_query(
     with_stats: bool = False,
     mixed: bool = False,
     shadow_tmin: float = 0.0,
+    ordered: bool | None = None,
 ):
     """Trace R rays (packet-coherent ordering) through the 8-wide BVH.
     Returns (t, tri): t = committed distance (F32_MAX / tmax when none),
@@ -395,6 +444,17 @@ def packet_query(
     mixed."""
     assert packet % 128 == 0, packet
     assert (smask is not None) == mixed, "smask required iff mixed"
+    if ordered is None:
+        # near-first ordering is the default everywhere: its early best-t
+        # shrink saves more visits than its per-visit scalar cost on real
+        # engine waves (frame A/B: ordered 1878 ms vs unordered 2460 ms on
+        # the atrium headline) even though synthetic single-bounce sets
+        # measure the opposite — see docs/PROFILE_r2.md for the full
+        # story. RAYTPU_ORDER_MODE overrides for A/B: all | anyhit | none.
+        import os
+
+        mode = os.environ.get("RAYTPU_ORDER_MODE", "all")
+        ordered = {"all": True, "none": False}.get(mode, any_hit)
     r = rox.shape[0]
     # pad rays to a packet multiple with dead lanes (tmax = -inf)
     r_pad = -(-r // packet) * packet
@@ -419,6 +479,7 @@ def packet_query(
     kernel = functools.partial(
         _packet_kernel, packet=packet, tmin=tmin, any_hit=any_hit,
         with_stats=with_stats, mixed=mixed, shadow_tmin=shadow_tmin,
+        ordered=ordered,
     )
     rows_per = packet // 128
     rspec = pl.BlockSpec(
