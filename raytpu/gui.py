@@ -1,10 +1,19 @@
 """Optional live progressive preview (the reference's --gui mode,
-src/main.rs:196-286, which blits the SAMPLES texture per chunk).
+src/main.rs:196-286: an SDL2 window that presents the SAMPLES texture
+after every chunk, polls Quit/Escape each iteration, and after the render
+finishes parks in an event loop until Quit/Escape before the PNG is
+written).
 
-Kept deliberately thin so it cannot contaminate the pure renderer: it simply
-consumes the progressive tile generator. Backend preference order:
-matplotlib window if a display is available, otherwise a terminal progress
-line (headless CI / TPU pods have no display server)."""
+Kept deliberately thin so it cannot contaminate the pure renderer: every
+backend simply consumes the progressive tile generator. Backend order:
+
+1. tkinter window — the closest parity to the reference loop: a real
+   event-pumped window, per-tile present, Escape/close handling both
+   during and after the render;
+2. matplotlib interactive window (if tkinter is unavailable but a GUI
+   backend exists);
+3. a terminal progress line (headless CI / TPU pods have no display).
+"""
 
 from __future__ import annotations
 
@@ -14,6 +23,73 @@ import numpy as np
 
 from .engine.render import render_frame_tiles
 from .io.png import quantize_rgba32f
+
+
+def _frame_to_ppm(frame_u8: np.ndarray) -> bytes:
+    """RGBA8 -> binary PPM (P6), the format tk.PhotoImage decodes
+    natively (no PIL dependency)."""
+    h, w = frame_u8.shape[:2]
+    header = f"P6 {w} {h} 255 ".encode()
+    return header + frame_u8[:, :, :3].tobytes()
+
+
+def _try_tk(width: int, height: int):
+    """A realised Tk window, or None when no display server exists."""
+    try:
+        import tkinter as tk
+
+        root = tk.Tk()
+    except Exception:
+        return None
+    root.title("raytpu")
+    root.geometry(f"{width}x{height}")
+    return root
+
+
+def _run_tk(root, pack, camera, config) -> np.ndarray:
+    """The reference's GUI loop shape: present per tile, poll events each
+    iteration (Escape/close stops the render), then park until
+    Escape/close (src/main.rs:196-286)."""
+    import tkinter as tk
+
+    state = {"quit": False}
+
+    def on_quit(_event=None):
+        state["quit"] = True
+
+    root.protocol("WM_DELETE_WINDOW", on_quit)
+    root.bind("<Escape>", on_quit)
+    canvas = tk.Canvas(root, width=config.width, height=config.height,
+                       highlightthickness=0)
+    canvas.pack()
+    frame = np.zeros((config.height, config.width, 4), np.float32)
+    photo = None
+
+    def present():
+        nonlocal photo
+        photo = tk.PhotoImage(data=_frame_to_ppm(quantize_rgba32f(frame)))
+        canvas.delete("all")
+        canvas.create_image((0, 0), image=photo, anchor="nw")
+        root.update()
+
+    for y0, rows, tile in render_frame_tiles(pack, camera, config):
+        frame[y0 : y0 + rows] = tile
+        present()
+        if state["quit"]:
+            break
+    # park in the event loop until Quit/Escape, like the reference
+    # (src/main.rs:270-281), then hand the frame back for PNG output
+    while not state["quit"]:
+        try:
+            root.update()
+        except Exception:
+            break
+        root.after(16)  # ~60 Hz event pump without busy-waiting
+    try:
+        root.destroy()
+    except Exception:
+        pass
+    return frame
 
 
 def _try_matplotlib():
@@ -37,6 +113,10 @@ def _try_matplotlib():
 
 
 def run_gui(pack, camera, config) -> np.ndarray:
+    root = _try_tk(config.width, config.height)
+    if root is not None:
+        return _run_tk(root, pack, camera, config)
+
     frame = np.zeros((config.height, config.width, 4), np.float32)
     plt = _try_matplotlib()
     im = None
