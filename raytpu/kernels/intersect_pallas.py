@@ -52,7 +52,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..accel.bvh import BVH8_WIDTH, LEAF_SIZE
 
-PACKET = 4096  # default rays per packet ([PACKET//128, 128] vector tiles)
+import os as _os
+
+# default rays per packet ([PACKET//128, 128] vector tiles); the env
+# override exists for packet-size sweeps (4096 beat 1024/2048; see
+# docs/PROFILE_r2.md)
+PACKET = int(_os.environ.get("RAYTPU_PACKET", 4096))
 PACKETS_PER_BLOCK = 16  # packets per grid step: amortises the per-step
 # scene-window fetch (~50us) across the block's packet walks
 F32_MAX = 3.40282347e38
