@@ -108,6 +108,21 @@ def _rpc_floor():
     return _FLOOR
 
 
+def _count_fingerprint(pack, cfg) -> str:
+    """Short hash of (RenderConfig, scene content) for the ray-count
+    cache filename. The scene part hashes cheap geometry invariants
+    (triangle count + coordinate sums) — enough to catch any edit to the
+    benchmark scenes without pulling full arrays off-device."""
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(repr(cfg).encode())
+    h.update(str(pack.n_triangles).encode())
+    for arr in (pack.tri_p0, pack.tri_e1, pack.light_table):
+        h.update(np.asarray(arr, np.float64).sum(axis=0).tobytes())
+    return h.hexdigest()[:12]
+
+
 def bench_config(name, pack, cam, cfg, repeats=3):
     """Render repeatedly on-device (scalar-checksum sync, RPC floor
     subtracted, inner repeats for sub-floor frames); returns
@@ -141,17 +156,29 @@ def bench_config(name, pack, cam, cfg, repeats=3):
     checksum = float(frame1())
     log(f"[bench] {name}: warmup {time.time()-t0:.1f}s "
         f"(checksum {checksum:.1f})")
-    # exact ray counts are deterministic per (scene, config): cache them
+    # exact ray counts are deterministic per (scene, config): cache them,
+    # keyed by a hash of the config AND a scene fingerprint so changing
+    # bounces/chunk_size/scene content without renaming the config can
+    # never reuse a stale count (the headline metric's numerator)
     os.makedirs(CACHE, exist_ok=True)
     count_key = os.path.join(
-        CACHE, f"rays_{name.replace(' ', '_').replace('/', '_')}.txt"
+        CACHE,
+        f"rays_{name.replace(' ', '_').replace('/', '_')}"
+        f"_{_count_fingerprint(pack, cfg)}.txt",
     )
-    if os.path.exists(count_key):
+    if os.path.exists(count_key) and not os.environ.get(
+        "RAYTPU_BENCH_VERIFY"
+    ):
         rays = int(open(count_key).read())
         log(f"[bench] {name}: ray count {rays/1e6:.2f}M (cached)")
     else:
         t0 = time.time()
         rays = count_rays(pack, cam, cfg)
+        if os.path.exists(count_key):
+            cached = int(open(count_key).read())
+            assert cached == rays, (
+                f"stale ray-count cache for {name}: {cached} != {rays}"
+            )
         open(count_key, "w").write(str(rays))
         log(f"[bench] {name}: ray count {rays/1e6:.2f}M "
             f"({time.time()-t0:.1f}s)")

@@ -243,17 +243,18 @@ def validate_treelets(
     for t in range(tl.n_treelets):
         nl = int(tl.n_leaf_rows[t])
         for r in range(nl):
+            # column 10k+9 of slot k must carry the row's base global slot
+            # + k (slot 0's id is the base; the row covers 8 consecutive
+            # global triangle slots)
+            base = int(tl.tleaves[t, r, 9:10].view(np.int32)[0])
+            assert base % leaf_size == 0
             for k in range(leaf_size):
                 gid = (
                     tl.tleaves[t, r, 10 * k + 9 : 10 * k + 10]
                     .view(np.int32)[0]
                 )
-                assert gid == (gid // leaf_size) * leaf_size + gid % leaf_size
-            seen.append(
-                int(
-                    tl.tleaves[t, r, 9:10].view(np.int32)[0]
-                ) // leaf_size
-            )
+                assert gid == base + k
+            seen.append(base // leaf_size)
         links, filled, _ = _decode(tl.tnodes[t])
         interior = filled & (links >= 0)
         leafs = filled & (links < 0)

@@ -89,32 +89,34 @@ def main(argv=None) -> int:
     pack = pack_scene(scene)
     cam = pack_camera(camera)
 
-    profile_ctx = None
+    from contextlib import nullcontext
+
     if args.profile is not None:
         import jax
 
         profile_ctx = jax.profiler.trace(args.profile)
-        profile_ctx.__enter__()
-
-    if args.gui:
-        from .gui import run_gui
-
-        frame = run_gui(pack, cam, config)
-    elif args.devices > 1:
-        from .parallel.shard import render_frame_sharded
-
-        frame = render_frame_sharded(pack, cam, config, n_devices=args.devices)
-    elif args.checkpoint is not None:
-        from .engine.progressive import render_with_checkpoint
-
-        frame = render_with_checkpoint(pack, cam, config, args.checkpoint)
     else:
-        from .engine.render import render_frame
+        profile_ctx = nullcontext()
 
-        frame = render_frame(pack, cam, config)
+    with profile_ctx:  # exceptions must still close the trace
+        if args.gui:
+            from .gui import run_gui
 
-    if profile_ctx is not None:
-        profile_ctx.__exit__(None, None, None)
+            frame = run_gui(pack, cam, config)
+        elif args.devices > 1:
+            from .parallel.shard import render_frame_sharded
+
+            frame = render_frame_sharded(
+                pack, cam, config, n_devices=args.devices
+            )
+        elif args.checkpoint is not None:
+            from .engine.progressive import render_with_checkpoint
+
+            frame = render_with_checkpoint(pack, cam, config, args.checkpoint)
+        else:
+            from .engine.render import render_frame
+
+            frame = render_frame(pack, cam, config)
 
     if args.output is not None:
         write_png(args.output, frame)

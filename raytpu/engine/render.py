@@ -318,7 +318,7 @@ def _mixed_bounce_query(
 def _trace_paths(
     pack: ScenePack, closest, any_hit, ro, rd, rng, bounces: int,
     count_mask=None, mask=None, sort_bounced=False, mixed_fn=None,
-    cap: float = 0.0,
+    cap: float = 0.0, eager: bool = False,
 ):
     """One full path per lane: the reference's ``pixel_color``
     (src/shader.wgsl:321-381), vectorised with masks. ``mask`` restricts
@@ -523,8 +523,15 @@ def _trace_paths(
         carry = (ro, rd, rng, radiance, attenuation, alive)
     def _guarded(step, carry, n_rays):
         # skip entire bounces once every lane has terminated (a pending
-        # shadow query from the skipped bounce resolves after the loop)
-        carry = jax.lax.cond(jnp.any(carry[5]), step, lambda c: c, carry)
+        # shadow query from the skipped bounce resolves after the loop).
+        # ``eager`` (wave capture, benchmarks/waves.py) decides on the
+        # concrete value instead so no tracing context wraps the step —
+        # recording intersector wrappers then see real arrays.
+        if eager:
+            if bool(jnp.any(carry[5])):
+                carry = step(carry)
+        else:
+            carry = jax.lax.cond(jnp.any(carry[5]), step, lambda c: c, carry)
         if n_rays is not None:
             counted = carry[5] & count_mask
             n_rays = n_rays + 2 * jnp.sum(counted.astype(jnp.int32))
@@ -558,7 +565,7 @@ def _trace_paths(
             use_mixed_query=use_mixed,
             defer_nee=use_mixed,
         )
-        if os.environ.get("RAYTPU_UNROLL_BOUNCES"):
+        if eager or os.environ.get("RAYTPU_UNROLL_BOUNCES"):
             for _ in range(1, bounces):
                 carry, n_rays = _guarded(stepb, carry, n_rays)
         else:
@@ -587,9 +594,13 @@ def _trace_paths(
                 (p_on & ~blocked)[:, None], p_contrib, 0.0
             )
 
-        radiance = jax.lax.cond(
-            jnp.any(p_on), resolve_last, lambda rad: rad, radiance
-        )
+        if eager:
+            if bool(jnp.any(p_on)):
+                radiance = resolve_last(radiance)
+        else:
+            radiance = jax.lax.cond(
+                jnp.any(p_on), resolve_last, lambda rad: rad, radiance
+            )
     else:
         _, _, rng, radiance, attenuation, _ = carry
     if n_rays is not None:

@@ -377,10 +377,14 @@ def make_binned_query(pack, interpret: bool = False,
             offs = cum - padded
             seg_first = bin_first[jnp.minimum(sorted_key, T - 1)]
             rank = order_idx - seg_first
+            # invalid rays (sorted_key == T) land at DISTINCT overflow
+            # slots cap + rank-within-the-invalid-tail, so the scatter's
+            # unique_indices/indices_are_sorted hints stay honest (a
+            # shared index would be undefined behaviour XLA may exploit)
             pos = jnp.where(
                 sorted_key < T,
                 offs[jnp.minimum(sorted_key, T - 1)].astype(jnp.int32) + rank,
-                cap,
+                cap + (order_idx - bin_first[T]),
             )
             # per-packet treelet id (packets past the last bin are dead)
             starts = jnp.arange(n_packets, dtype=jnp.int32) * packet
@@ -389,7 +393,7 @@ def make_binned_query(pack, interpret: bool = False,
             )
             tidpp = jnp.minimum(tidpp, T - 1)
 
-            g = jnp.full((cap + 1,), -1, jnp.int32).at[pos].set(
+            g = jnp.full((cap + r,), -1, jnp.int32).at[pos].set(
                 sorted_ray, unique_indices=True, indices_are_sorted=True
             )
             g = g[:cap]

@@ -1,0 +1,327 @@
+"""Strand traversal: 8 independent 128-ray walkers per (8, 128) tile.
+
+The resident packet kernel (intersect_pallas.py) walks the whole BVH once
+per 4096-ray packet, so a packet of incoherent bounce rays pays for the
+UNION of its lanes' node visits (~300x redundancy measured on the atrium
+frame, docs/PROFILE_r2.md). Shrinking packets under XLA semantics did not
+help because every vector op costs a full tile regardless of live lanes —
+the fix is to make the tile itself carry INDEPENDENT traversals:
+
+* each sublane row of the (8, 128) ray tile is one **strand** of 128
+  coherence-sorted rays with its OWN stackless walker — per-strand visit
+  unions replace the 4096-ray union (32x finer scheduling granularity);
+* walkers traverse the octant-threaded tree (accel/strandtree.py):
+  stackless skip-link walking whose near-first child order is baked into
+  per-octant links, selected per strand by one scalar roll — the
+  near-first ordering that the frame A/Bs showed is essential
+  (docs/PROFILE_r2.md) without any per-visit ordering scalar work;
+* walker state stays VECTORIZED: one (8, 1) node-pointer column, a
+  lane-reduction for the hit-any bit, and a vector select for the next
+  node — the per-visit scalar cost that dominated the packet kernel
+  (8 full-tile ``jnp.any`` reductions + 56 box scalar extracts per pop)
+  becomes ~8 scalar VMEM reads per step;
+* leaf tests are BATCHED across walkers: the 8 walkers' pending leaf rows
+  stack into one (8, 128) tile whose per-walker triangle data broadcasts
+  from (8, 1) columns, so one dense Moller-Trumbore pass serves up to 8
+  different leaf visits at full tile efficiency.
+
+Results are bit-identical to the packet kernel / XLA walk / brute sweep:
+same Moller-Trumbore op order, same closed/open range contract, same
+lowest-slot tie break.
+
+This kernel replaces the execution half of the GPU's hardware ray-query
+scheduler (/root/reference/src/shader.wgsl:312-319, src/state.rs:129-133);
+the octant-threaded layout replaces its traversal-order half.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..accel.bvh import LEAF_SIZE
+
+F32_MAX = 3.40282347e38
+STRANDS = 8  # walkers per block = sublanes of one f32 tile
+STRAND_RAYS = 128  # rays per strand = lanes
+BLOCK = STRANDS * STRAND_RAYS
+
+
+def _strand_kernel(
+    tree_ref,  # [Rt, 128] VMEM — octant-threaded node rows
+    leaf_ref,  # [Nl, 80] VMEM — shared leaf triangle rows
+    rox_ref, roy_ref, roz_ref,  # (8, 128) ray block
+    rdx_ref, rdy_ref, rdz_ref,
+    tmax_ref,  # (8, 128); -inf disables a lane
+    *refs,  # t, tri [, stats] outputs; then scratch: snode, sleaf,
+    # cur, pend, obase
+    tmin: float,
+    any_hit: bool,
+    with_stats: bool,
+):
+    if with_stats:
+        (t_ref, tri_ref, stats_ref, snode_ref, sleaf_ref, cur_ref,
+         pend_ref, obase_ref) = refs
+    else:
+        (t_ref, tri_ref, snode_ref, sleaf_ref, cur_ref, pend_ref,
+         obase_ref) = refs
+        stats_ref = None
+    ROX = rox_ref[...]
+    ROY = roy_ref[...]
+    ROZ = roz_ref[...]
+    RDX = rdx_ref[...]
+    RDY = rdy_ref[...]
+    RDZ = rdz_ref[...]
+    TMAX = tmax_ref[...]
+    TINY = 1e-36
+
+    def _safe(d):
+        return jnp.where(d == 0.0, jnp.where(1.0 / d < 0.0, -TINY, TINY), d)
+
+    IDX = 1.0 / _safe(RDX)
+    IDY = 1.0 / _safe(RDY)
+    IDZ = 1.0 / _safe(RDZ)
+    NEGX = IDX < 0.0
+    NEGY = IDY < 0.0
+    NEGZ = IDZ < 0.0
+
+    # per-walker octant (strand rays share one; lane 0 is representative
+    # because the engine sorts waves direction-octant-major)
+    for w in range(STRANDS):
+        o = (
+            (rdx_ref[w, 0] < 0.0).astype(jnp.int32)
+            + 2 * (rdy_ref[w, 0] < 0.0).astype(jnp.int32)
+            + 4 * (rdz_ref[w, 0] < 0.0).astype(jnp.int32)
+        )
+        obase_ref[w] = o * 8
+    cur_ref[...] = jnp.zeros((STRANDS, 1), jnp.int32)
+
+    def leaf_phase(args):
+        best_t, best_tri = args
+        pend = pend_ref[...]
+        for w in range(STRANDS):
+            lr = jnp.maximum(pend_ref[w, 0], 0)
+            sleaf_ref[w : w + 1, 0 : leaf_ref.shape[1]] = leaf_ref[
+                pl.ds(lr, 1), :
+            ]
+        L = sleaf_ref[...]
+        PM = pend >= 0  # (8,1) participation
+        LR = jnp.maximum(pend, 0)
+        for k in range(LEAF_SIZE):
+            b = 10 * k
+            p0x, p0y, p0z = L[:, b : b + 1], L[:, b + 1 : b + 2], L[:, b + 2 : b + 3]
+            e1x, e1y, e1z = L[:, b + 3 : b + 4], L[:, b + 4 : b + 5], L[:, b + 5 : b + 6]
+            e2x, e2y, e2z = L[:, b + 6 : b + 7], L[:, b + 7 : b + 8], L[:, b + 8 : b + 9]
+            pvx = RDY * e2z - RDZ * e2y
+            pvy = RDZ * e2x - RDX * e2z
+            pvz = RDX * e2y - RDY * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            inv = 1.0 / det
+            tvx = ROX - p0x
+            tvy = ROY - p0y
+            tvz = ROZ - p0z
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            v = (RDX * qx + RDY * qy + RDZ * qz) * inv
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv
+            geo_ok = (
+                (det != 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & PM
+            )
+            slot = LR * LEAF_SIZE + k  # (8,1) global triangle slot
+            if any_hit:
+                # closed range [tmin, tmax] like the hardware query
+                ok = geo_ok & (t >= tmin) & (t <= best_t)
+                best_tri = jnp.where(ok, slot, best_tri)
+            else:
+                # open far bound + lowest-slot tie break (cross-engine
+                # bit-identical results regardless of visit order)
+                ok = geo_ok & (t >= tmin) & (
+                    (t < best_t) | ((t == best_t) & (slot < best_tri))
+                )
+                best_t = jnp.where(ok, t, best_t)
+                best_tri = jnp.where(ok, slot, best_tri)
+        return best_t, best_tri
+
+    def body(state):
+        if with_stats:
+            alive, best_t, best_tri, n_steps, n_leafp = state
+            n_steps = n_steps + 1
+        else:
+            alive, best_t, best_tri = state
+            n_leafp = None
+        # 1) fetch each walker's (node, octant) record: one dynamic row
+        #    load + one dynamic roll lands box/links at lanes 0..7
+        for w in range(STRANDS):
+            c = jnp.maximum(cur_ref[w, 0], 0)
+            row = tree_ref[pl.ds(c // 2, 1), :]
+            amt = (c % 2) * 64 + obase_ref[w]
+            snode_ref[w : w + 1, :] = pltpu.roll(row, -amt, 1)
+        S = snode_ref[...]
+        cur = cur_ref[...]
+        ACT = cur >= 0
+        HITL = S[:, 6:7].astype(jnp.int32)  # value-cast links
+        MISSL = S[:, 7:8].astype(jnp.int32)
+        if any_hit:
+            # lanes already blocked stop participating; walkers whose live
+            # lanes are all blocked terminate outright
+            LIMIT = jnp.where(best_tri >= 0, -jnp.inf, TMAX)
+            all_done = jnp.all(
+                (best_tri >= 0) | (TMAX < 0.0), axis=1, keepdims=True
+            )
+            ACT = ACT & jnp.logical_not(all_done)
+        else:
+            LIMIT = best_t
+        # 2) slab test: per-walker box broadcast from (8,1) columns
+        lox = (jnp.where(NEGX, S[:, 3:4], S[:, 0:1]) - ROX) * IDX
+        hix = (jnp.where(NEGX, S[:, 0:1], S[:, 3:4]) - ROX) * IDX
+        loy = (jnp.where(NEGY, S[:, 4:5], S[:, 1:2]) - ROY) * IDY
+        hiy = (jnp.where(NEGY, S[:, 1:2], S[:, 4:5]) - ROY) * IDY
+        loz = (jnp.where(NEGZ, S[:, 5:6], S[:, 2:3]) - ROZ) * IDZ
+        hiz = (jnp.where(NEGZ, S[:, 2:3], S[:, 5:6]) - ROZ) * IDZ
+        near = jnp.maximum(jnp.maximum(lox, loy), jnp.maximum(loz, tmin))
+        far = jnp.minimum(jnp.minimum(hix, hiy), jnp.minimum(hiz, LIMIT))
+        HIT = near <= far
+        hit_any = jnp.any(HIT, axis=1, keepdims=True) & ACT  # (8,1)
+        IS_LEAF = HITL < 0
+        # 3) advance walkers (vector select, no per-walker branches)
+        pend = jnp.where(hit_any & IS_LEAF, ~HITL, -1)
+        pend_ref[...] = pend
+        nxt = jnp.where(hit_any & jnp.logical_not(IS_LEAF), HITL, MISSL)
+        nxt = jnp.where(ACT, nxt, jnp.int32(-1))
+        cur_ref[...] = nxt
+        # 4) batched leaf tests for whoever hit a leaf this step
+        do_leaf = jnp.any(pend >= 0)
+        best_t, best_tri = lax.cond(
+            do_leaf, leaf_phase, lambda a: a, (best_t, best_tri)
+        )
+        alive = jnp.max(nxt)
+        if with_stats:
+            n_leafp = n_leafp + do_leaf.astype(jnp.int32)
+            return alive, best_t, best_tri, n_steps, n_leafp
+        return alive, best_t, best_tri
+
+    def cond(state):
+        return state[0] >= 0
+
+    if any_hit:
+        best0 = TMAX  # compare against the per-ray max directly
+    else:
+        best0 = jnp.minimum(jnp.full((STRANDS, 128), F32_MAX), TMAX)
+    tri0 = jnp.full((STRANDS, 128), -1, jnp.int32)
+    if with_stats:
+        _, best_t, best_tri, n_steps, n_leafp = lax.while_loop(
+            cond, body,
+            (jnp.int32(0), best0, tri0, jnp.int32(0), jnp.int32(0)),
+        )
+        lane = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        stats_ref[...] = jnp.where(lane == 1, n_leafp, n_steps)
+    else:
+        _, best_t, best_tri = lax.while_loop(
+            cond, body, (jnp.int32(0), best0, tri0)
+        )
+    t_ref[...] = best_t
+    tri_ref[...] = best_tri
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tmin", "any_hit", "interpret", "with_stats"),
+)
+def strand_query(
+    tree_rows,
+    leaf_tris,
+    rox, roy, roz,
+    rdx, rdy, rdz,
+    tmax,
+    tmin: float = 0.001,
+    any_hit: bool = False,
+    interpret: bool = False,
+    with_stats: bool = False,
+):
+    """Trace R rays (coherence-sorted; consecutive 128 = one strand)
+    through the octant-threaded tree. Returns (t, tri) like packet_query:
+    t = committed distance (F32_MAX/tmax when none), tri = global
+    triangle slot or -1; any_hit uses the closed range [tmin, tmax],
+    closest-hit the open bound. Dead lanes carry tmax = -inf.
+
+    With ``with_stats`` also returns an int32 [n_blocks, 128] array: per
+    1024-ray block, lane 1 = leaf-phase count, other lanes = step count.
+    """
+    r = rox.shape[0]
+    r_pad = -(-r // BLOCK) * BLOCK
+    if r_pad != r:
+        def padr(a, fill):
+            return jnp.concatenate(
+                [a, jnp.full((r_pad - r,), fill, a.dtype)]
+            )
+
+        rox, roy, roz = padr(rox, 0.0), padr(roy, 0.0), padr(roz, 0.0)
+        rdx, rdy, rdz = padr(rdx, 1.0), padr(rdy, 1.0), padr(rdz, 1.0)
+        tmax = padr(jnp.broadcast_to(tmax, (r,)), -jnp.inf)
+    n_blocks = r_pad // BLOCK
+
+    def to2d(a):
+        return a.reshape(r_pad // 128, 128)
+
+    rspec = pl.BlockSpec((STRANDS, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _strand_kernel, tmin=tmin, any_hit=any_hit, with_stats=with_stats,
+    )
+    out_specs = [rspec, rspec]
+    out_shape = [
+        jax.ShapeDtypeStruct((r_pad // 128, 128), jnp.float32),
+        jax.ShapeDtypeStruct((r_pad // 128, 128), jnp.int32),
+    ]
+    if with_stats:
+        # stats rides as the third output; pallas passes refs in
+        # (outputs..., scratch...) order, which already matches the
+        # kernel's with_stats unpacking — no rewrapping needed
+        # Mosaic needs >= (8, 128) blocks: emit a full tile per block
+        # (all 8 rows identical) and slice row 0 on the host
+        out_specs.append(
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_blocks * 8, 128), jnp.int32)
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(tree_rows.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(leaf_tris.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        + [rspec] * 7,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((STRANDS, 128), jnp.float32),
+            pltpu.VMEM((STRANDS, 128), jnp.float32),
+            pltpu.VMEM((STRANDS, 1), jnp.int32),
+            pltpu.VMEM((STRANDS, 1), jnp.int32),
+            pltpu.SMEM((STRANDS,), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(tree_rows, leaf_tris, *(to2d(a) for a in (rox, roy, roz)),
+      *(to2d(a) for a in (rdx, rdy, rdz)),
+      to2d(jnp.broadcast_to(tmax, (r_pad,))))
+    t = out[0].reshape(r_pad)[:r]
+    tri = out[1].reshape(r_pad)[:r]
+    if with_stats:
+        return t, tri, out[2].reshape(n_blocks, 8, 128)[:, 0, :]
+    return t, tri

@@ -256,12 +256,25 @@ def pack_scene(
             leaf_tris=jnp.asarray(leaf_tris),
         ),
         has_textures=len(scene.textures) > 0,
-        scene_diag=float(np.linalg.norm(bvh.bmax[0] - bvh.bmin[0])),
+        scene_diag=_quantize_sig(
+            float(np.linalg.norm(bvh.bmax[0] - bvh.bmin[0]))
+        ),
         tl_nodes=None if tl is None else jnp.asarray(tl.tnodes),
         tl_leaves=None if tl is None else jnp.asarray(tl.tleaves),
         tl_bmin=None if tl is None else jnp.asarray(tl.tbox_min),
         tl_bmax=None if tl is None else jnp.asarray(tl.tbox_max),
     )
+
+
+def _quantize_sig(x: float, digits: int = 2) -> float:
+    """Round to ``digits`` significant figures. scene_diag is a STATIC
+    ScenePack field (part of every jit cache key), so two same-shape
+    scenes with slightly different geometry must not recompile the whole
+    renderer — the bounce-cap derived from it tolerates coarse precision."""
+    if x == 0.0 or not np.isfinite(x):
+        return float(x)
+    scale = 10.0 ** (digits - 1 - int(np.floor(np.log10(abs(x)))))
+    return float(np.round(x * scale) / scale)
 
 
 def pack_camera(camera: CameraData) -> CameraPack:

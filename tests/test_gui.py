@@ -3,7 +3,10 @@ tk presentation path's PPM encoding must be well-formed. (An actual
 window cannot appear in CI — tk.Tk() raising without a display is the
 tested contract for backend selection.)"""
 
+import os
+
 import numpy as np
+import pytest
 
 import raytpu
 from raytpu.gui import _frame_to_ppm, _try_tk, run_gui
@@ -21,6 +24,11 @@ def test_ppm_encoding_roundtrip():
     )
 
 
+@pytest.mark.skipif(
+    bool(os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")),
+    reason="a display server would open a real window; the headless "
+    "fallback contract only holds without one",
+)
 def test_headless_gui_renders_exact_frame(cube_scene, cube_camera):
     pack = pack_scene(cube_scene)
     cam = pack_camera(cube_camera)

@@ -1,0 +1,116 @@
+"""Strand kernel correctness: bit-identical to the brute-force sweep and
+the packet kernel on random scenes and ray sets (closest + any-hit), per
+the cross-engine determinism contract (lowest-slot ties)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from raytpu.accel.bvh import build_bvh
+from raytpu.accel.strandtree import build_strand_tree, validate_strand_tree
+from raytpu.kernels.strand import strand_query
+
+
+def _scene(ntri, seed=0):
+    rng = np.random.default_rng(seed)
+    p0 = (rng.random((ntri, 3), np.float32) - 0.5) * 10
+    e1 = rng.normal(size=(ntri, 3)).astype(np.float32)
+    e2 = rng.normal(size=(ntri, 3)).astype(np.float32)
+    return p0, e1, e2
+
+
+def _rays(n, seed=1, spread=8.0):
+    rng = np.random.default_rng(seed)
+    ro = (rng.random((n, 3), np.float32) - 0.5) * spread
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    return ro, rd
+
+
+def _sort_octant(ro, rd):
+    """Direction-octant sort so strands share an octant (the engine's
+    invariant)."""
+    oct_ = (rd[:, 0] < 0) + 2 * (rd[:, 1] < 0) + 4 * (rd[:, 2] < 0)
+    idx = np.argsort(oct_, kind="stable")
+    return ro[idx], rd[idx]
+
+
+def _leaf_rows(p0, e1, e2, bvh):
+    """(leaf_tris rows, slot-ordered p0/e1/e2 arrays) for the tri order."""
+    order = bvh.tri_order
+    slots = order.shape[0]
+    per = np.zeros((slots, 10), np.float32)
+    v = order >= 0
+    per[v, 0:3] = p0[order[v]]
+    per[v, 3:6] = e1[order[v]]
+    per[v, 6:9] = e2[order[v]]
+    leaf = per.reshape(slots // bvh.leaf_size, -1)
+    return leaf, per[:, 0:3], per[:, 3:6], per[:, 6:9]
+
+
+def _brute(per_p0, per_e1, per_e2, ro, rd, tmin, tmax, any_hit=False):
+    """Oracle: the pure-XLA brute-force sweep in slot order (same compiled
+    arithmetic as the kernels — numpy reassociates/fuses differently)."""
+    from raytpu.kernels.intersect import (
+        intersect_any_bruteforce, intersect_bruteforce,
+    )
+
+    args = (jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(per_p0),
+            jnp.asarray(per_e1), jnp.asarray(per_e2), jnp.float32(tmin),
+            jnp.asarray(tmax))
+    if any_hit:
+        blocked = intersect_any_bruteforce(*args, chunk=8)
+        return None, np.where(np.asarray(blocked), 0, -1)
+    hit = intersect_bruteforce(*args, chunk=8)
+    return np.asarray(hit.t), np.asarray(hit.tri)
+
+
+@pytest.mark.parametrize("ntri", [5, 300, 3000])
+def test_strand_closest_matches_brute(ntri):
+    p0, e1, e2 = _scene(ntri)
+    bvh, _ = build_bvh(p0, e1, e2)
+    tree = build_strand_tree(bvh)
+    validate_strand_tree(tree, bvh)
+    ro, rd = _rays(1500, seed=ntri)
+    ro, rd = _sort_octant(ro, rd)
+    leaf, pp0, pe1, pe2 = _leaf_rows(p0, e1, e2, bvh)
+
+    tmax = np.full(ro.shape[0], 3.40282347e38, np.float32)
+    tmax[::7] = -np.inf  # dead lanes
+    t, tri = strand_query(
+        jnp.asarray(tree.rows), jnp.asarray(leaf),
+        *(jnp.asarray(ro[:, a]) for a in range(3)),
+        *(jnp.asarray(rd[:, a]) for a in range(3)),
+        jnp.asarray(tmax), tmin=0.001, interpret=True,
+    )
+    bt, btri = _brute(pp0, pe1, pe2, ro, rd, 0.001, tmax)
+    t, tri = np.asarray(t), np.asarray(tri)
+    # dead lanes must never hit
+    assert (tri[::7] == -1).all()
+    live = tmax >= 0
+    hit = btri >= 0
+    np.testing.assert_array_equal(tri[live], btri[live])
+    # t: interpret-mode (unfused) vs compiled (fused) arithmetic differ by
+    # <= 1 ulp — same tolerance precedent as the packet-kernel tests; the
+    # engine consumes tri (and recomputed barycentrics), never raw t
+    np.testing.assert_allclose(t[live & hit], bt[live & hit], rtol=1e-6)
+
+
+def test_strand_any_hit_matches_brute():
+    p0, e1, e2 = _scene(800, seed=3)
+    bvh, _ = build_bvh(p0, e1, e2)
+    tree = build_strand_tree(bvh)
+    ro, rd = _rays(1024, seed=5)
+    ro, rd = _sort_octant(ro, rd)
+    leaf, pp0, pe1, pe2 = _leaf_rows(p0, e1, e2, bvh)
+    tmax = np.full(1024, 6.0, np.float32)
+    tmax[::5] = -np.inf
+    _, tri = strand_query(
+        jnp.asarray(tree.rows), jnp.asarray(leaf),
+        *(jnp.asarray(ro[:, a]) for a in range(3)),
+        *(jnp.asarray(rd[:, a]) for a in range(3)),
+        jnp.asarray(tmax), tmin=0.0, any_hit=True, interpret=True,
+    )
+    _, btri = _brute(pp0, pe1, pe2, ro, rd, 0.0, tmax, any_hit=True)
+    blocked = np.asarray(tri) >= 0
+    np.testing.assert_array_equal(blocked, btri >= 0)
