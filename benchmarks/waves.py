@@ -327,7 +327,24 @@ def _ab_main(args):
             return jnp.sum(jnp.abs(t) * 0.0) + jnp.sum(tri)
 
         dt_p = _time_fn(run_packet)
-        dt_s = _time_fn(run_strand)
+
+        def timed_strand(g):
+            @jax.jit
+            def run_g():
+                t, tri = strand_query(
+                    stree, leaves, ro[:, 0], ro[:, 1], ro[:, 2],
+                    rd[:, 0], rd[:, 1], rd[:, 2], tmax,
+                    tmin=w["tmin"], any_hit=any_hit, groups=g,
+                )
+                return jnp.sum(jnp.abs(t) * 0.0) + jnp.sum(tri)
+
+            return _time_fn(run_g)
+
+        for g in args.groups[:-1]:
+            dt_g = timed_strand(g)
+            print(f"| {name} | strand-g{g} | {r/dt_g/1e6:8.1f} | "
+                  f"{dt_g*1000:7.2f} | | | |", flush=True)
+        dt_s = timed_strand(args.groups[-1])
         # agreement: full tri arrays (any-hit compares blocked sets)
         _, tri_p = packet_query(
             node8, leaves, ro[:, 0], ro[:, 1], ro[:, 2],
@@ -364,6 +381,7 @@ def main():
                     default=[4096, 2048, 1024, 512, 256, 128])
     ab = sub.add_parser("ab")
     ab.add_argument("--tris", type=int, default=250_000)
+    ab.add_argument("--groups", type=int, nargs="*", default=[4])
     ab.add_argument("--waves", nargs="*",
                     default=["b0c", "b1c", "b2c", "b3c", "b0s", "b2s"])
     args = ap.parse_args()

@@ -47,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..accel.bvh import LEAF_SIZE
 
 F32_MAX = 3.40282347e38
-STRANDS = 8  # walkers per block = sublanes of one f32 tile
+STRANDS = 8  # walkers per group = sublanes of one f32 tile
 STRAND_RAYS = 128  # rays per strand = lanes
 BLOCK = STRANDS * STRAND_RAYS
 
@@ -55,21 +55,22 @@ BLOCK = STRANDS * STRAND_RAYS
 def _strand_kernel(
     tree_ref,  # [Rt, 128] VMEM — octant-threaded node rows
     leaf_ref,  # [Nl, 80] VMEM — shared leaf triangle rows
-    rox_ref, roy_ref, roz_ref,  # (8, 128) ray block
+    rox_ref, roy_ref, roz_ref,  # (8G, 128) ray block
     rdx_ref, rdy_ref, rdz_ref,
-    tmax_ref,  # (8, 128); -inf disables a lane
+    tmax_ref,  # (8G, 128); -inf disables a lane
     *refs,  # t, tri [, stats] outputs; then scratch: snode, sleaf,
-    # cur, pend, obase
+    # cur, pend, obase, queue, qn
     tmin: float,
     any_hit: bool,
     with_stats: bool,
+    walkers: int,
 ):
     if with_stats:
         (t_ref, tri_ref, stats_ref, snode_ref, sleaf_ref, cur_ref,
-         pend_ref, obase_ref) = refs
+         pend_ref, obase_ref, queue_ref, qn_ref) = refs
     else:
         (t_ref, tri_ref, snode_ref, sleaf_ref, cur_ref, pend_ref,
-         obase_ref) = refs
+         obase_ref, queue_ref, qn_ref) = refs
         stats_ref = None
     ROX = rox_ref[...]
     ROY = roy_ref[...]
@@ -92,19 +93,24 @@ def _strand_kernel(
 
     # per-walker octant (strand rays share one; lane 0 is representative
     # because the engine sorts waves direction-octant-major)
-    for w in range(STRANDS):
+    for w in range(walkers):
         o = (
             (rdx_ref[w, 0] < 0.0).astype(jnp.int32)
             + 2 * (rdy_ref[w, 0] < 0.0).astype(jnp.int32)
             + 4 * (rdz_ref[w, 0] < 0.0).astype(jnp.int32)
         )
         obase_ref[w] = o * 8
-    cur_ref[...] = jnp.zeros((STRANDS, 1), jnp.int32)
+    cur_ref[...] = jnp.zeros((walkers, 1), jnp.int32)
+    qn_ref[...] = jnp.zeros((walkers, 1), jnp.int32)
+    LANE = lax.broadcasted_iota(jnp.int32, (walkers, 128), 1)
+    # leaf-queue overflow guard: a flush fires before an insert could push
+    # lane 127 out (queues grow by <= 1 per step)
+    QCAP = 120
 
     def leaf_phase(args):
         best_t, best_tri = args
         pend = pend_ref[...]
-        for w in range(STRANDS):
+        for w in range(walkers):
             lr = jnp.maximum(pend_ref[w, 0], 0)
             sleaf_ref[w : w + 1, 0 : leaf_ref.shape[1]] = leaf_ref[
                 pl.ds(lr, 1), :
@@ -158,8 +164,11 @@ def _strand_kernel(
             alive, best_t, best_tri = state
             n_leafp = None
         # 1) fetch each walker's (node, octant) record: one dynamic row
-        #    load + one dynamic roll lands box/links at lanes 0..7
-        for w in range(STRANDS):
+        #    load + one dynamic roll lands box/links at lanes 0..7.
+        #    The walkers' load->roll chains are mutually independent, so
+        #    widening `walkers` (groups > 1) overlaps their latency — the
+        #    fitted per-step cost is latency, not VPU throughput
+        for w in range(walkers):
             c = jnp.maximum(cur_ref[w, 0], 0)
             row = tree_ref[pl.ds(c // 2, 1), :]
             amt = (c % 2) * 64 + obase_ref[w]
@@ -193,16 +202,46 @@ def _strand_kernel(
         IS_LEAF = HITL < 0
         # 3) advance walkers (vector select, no per-walker branches)
         pend = jnp.where(hit_any & IS_LEAF, ~HITL, -1)
-        pend_ref[...] = pend
         nxt = jnp.where(hit_any & jnp.logical_not(IS_LEAF), HITL, MISSL)
         nxt = jnp.where(ACT, nxt, jnp.int32(-1))
         cur_ref[...] = nxt
-        # 4) batched leaf tests for whoever hit a leaf this step
-        do_leaf = jnp.any(pend >= 0)
-        best_t, best_tri = lax.cond(
-            do_leaf, leaf_phase, lambda a: a, (best_t, best_tri)
+        # 4) enqueue leaf visits (LIFO insert at lane 0 via a static
+        #    roll): the MT pass is DEFERRED until (almost) every walker
+        #    has one queued, so each flush runs at full walker occupancy
+        #    instead of serving whichever 1-2 walkers pend this step.
+        #    Deferral only delays best_t shrink / any-hit blocking —
+        #    the final committed set is unchanged (lowest-slot ties).
+        enq = pend >= 0
+        q = queue_ref[...]
+        q = jnp.where(enq, pltpu.roll(q, 1, 1), q)
+        queue_ref[...] = jnp.where(enq & (LANE == 0), pend, q)
+        qn = qn_ref[...] + enq.astype(jnp.int32)
+        qn_ref[...] = qn
+        # 5) flush when every walker is finished-or-queued (done walkers
+        #    count as ready, so the tail drains), or on overflow risk
+        ready = (qn > 0) | (nxt < 0)
+        do_leaf = (jnp.all(ready) & jnp.any(qn > 0)) | (
+            jnp.max(qn) >= QCAP
         )
-        alive = jnp.max(nxt)
+
+        def flush(args):
+            qf = queue_ref[...]
+            qnf = qn_ref[...]
+            popped = qnf > 0
+            pend_ref[...] = jnp.where(popped, qf[:, 0:1], -1)
+            # cyclic roll by 127 == shift left by one lane (pop)
+            queue_ref[...] = jnp.where(popped, pltpu.roll(qf, 127, 1), qf)
+            qn_ref[...] = qnf - popped.astype(jnp.int32)
+            return leaf_phase(args)
+
+        best_t, best_tri = lax.cond(
+            do_leaf, flush, lambda a: a, (best_t, best_tri)
+        )
+        # keep looping while any walker walks OR any queue holds work
+        queued = jnp.max(qn_ref[...])
+        alive = jnp.maximum(
+            jnp.max(nxt), jnp.where(queued > 0, 0, -1)
+        )
         if with_stats:
             n_leafp = n_leafp + do_leaf.astype(jnp.int32)
             return alive, best_t, best_tri, n_steps, n_leafp
@@ -214,8 +253,8 @@ def _strand_kernel(
     if any_hit:
         best0 = TMAX  # compare against the per-ray max directly
     else:
-        best0 = jnp.minimum(jnp.full((STRANDS, 128), F32_MAX), TMAX)
-    tri0 = jnp.full((STRANDS, 128), -1, jnp.int32)
+        best0 = jnp.minimum(jnp.full((walkers, 128), F32_MAX), TMAX)
+    tri0 = jnp.full((walkers, 128), -1, jnp.int32)
     if with_stats:
         _, best_t, best_tri, n_steps, n_leafp = lax.while_loop(
             cond, body,
@@ -233,7 +272,8 @@ def _strand_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tmin", "any_hit", "interpret", "with_stats"),
+    static_argnames=("tmin", "any_hit", "interpret", "with_stats",
+                     "groups"),
 )
 def strand_query(
     tree_rows,
@@ -245,6 +285,7 @@ def strand_query(
     any_hit: bool = False,
     interpret: bool = False,
     with_stats: bool = False,
+    groups: int = 4,
 ):
     """Trace R rays (coherence-sorted; consecutive 128 = one strand)
     through the octant-threaded tree. Returns (t, tri) like packet_query:
@@ -252,11 +293,20 @@ def strand_query(
     triangle slot or -1; any_hit uses the closed range [tmin, tmax],
     closest-hit the open bound. Dead lanes carry tmax = -inf.
 
+    ``groups`` interleaves 8*groups independent walkers per grid block:
+    the walkers' dynamic node fetches overlap, hiding the per-step
+    latency that dominates a lone 8-walker block (fitted ~580ns/step vs
+    ~25ns of VPU work, benchmarks/waves.py ab). Results are identical
+    for any value; it only changes scheduling granularity.
+
     With ``with_stats`` also returns an int32 [n_blocks, 128] array: per
-    1024-ray block, lane 1 = leaf-phase count, other lanes = step count.
+    (1024*groups)-ray block, lane 1 = leaf-phase count, other lanes =
+    step count.
     """
+    walkers = STRANDS * groups
+    block = walkers * STRAND_RAYS
     r = rox.shape[0]
-    r_pad = -(-r // BLOCK) * BLOCK
+    r_pad = -(-r // block) * block
     if r_pad != r:
         def padr(a, fill):
             return jnp.concatenate(
@@ -266,15 +316,16 @@ def strand_query(
         rox, roy, roz = padr(rox, 0.0), padr(roy, 0.0), padr(roz, 0.0)
         rdx, rdy, rdz = padr(rdx, 1.0), padr(rdy, 1.0), padr(rdz, 1.0)
         tmax = padr(jnp.broadcast_to(tmax, (r,)), -jnp.inf)
-    n_blocks = r_pad // BLOCK
+    n_blocks = r_pad // block
 
     def to2d(a):
         return a.reshape(r_pad // 128, 128)
 
-    rspec = pl.BlockSpec((STRANDS, 128), lambda i: (i, 0),
+    rspec = pl.BlockSpec((walkers, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _strand_kernel, tmin=tmin, any_hit=any_hit, with_stats=with_stats,
+        walkers=walkers,
     )
     out_specs = [rspec, rspec]
     out_shape = [
@@ -307,11 +358,13 @@ def strand_query(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((STRANDS, 128), jnp.float32),
-            pltpu.VMEM((STRANDS, 128), jnp.float32),
-            pltpu.VMEM((STRANDS, 1), jnp.int32),
-            pltpu.VMEM((STRANDS, 1), jnp.int32),
-            pltpu.SMEM((STRANDS,), jnp.int32),
+            pltpu.VMEM((walkers, 128), jnp.float32),
+            pltpu.VMEM((walkers, 128), jnp.float32),
+            pltpu.VMEM((walkers, 1), jnp.int32),
+            pltpu.VMEM((walkers, 1), jnp.int32),
+            pltpu.SMEM((walkers,), jnp.int32),
+            pltpu.VMEM((walkers, 128), jnp.int32),  # leaf queue
+            pltpu.VMEM((walkers, 1), jnp.int32),  # queue depth
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
