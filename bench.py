@@ -49,7 +49,9 @@ def _cached_atrium(target_tris: int):
     import pickle
 
     os.makedirs(CACHE, exist_ok=True)
-    schema = 6  # bump when ScenePack layout or the scene changes
+    schema = 7  # bump when ScenePack layout or the scene changes
+    # (v7: BvhPack.strand_rows — a stale pickle would silently disable
+    # the strand bounce path)
     key = os.path.join(CACHE, f"atrium_{target_tris}_v{schema}.pkl")
     from benchmarks.scenes import build_atrium
 
@@ -125,8 +127,14 @@ def _count_fingerprint(pack, cfg) -> str:
 
 def bench_config(name, pack, cam, cfg, repeats=3):
     """Render repeatedly on-device (scalar-checksum sync, RPC floor
-    subtracted, inner repeats for sub-floor frames); returns
+    subtracted, inner repeats for sub-floor frames); returns (0, 0)
+    without rendering when RAYTPU_BENCH_ONLY is set and not a substring
+    of ``name`` (dev filter; the driver always runs the full suite);
     (Mrays/s, ms/frame)."""
+    only = os.environ.get("RAYTPU_BENCH_ONLY")
+    if only and only not in name:
+        log(f"[bench] {name}: skipped (RAYTPU_BENCH_ONLY={only})")
+        return 0.0, 0.0
     import jax.numpy as jnp
     from raytpu.engine.render import _auto_tile_rows, render_tile
 

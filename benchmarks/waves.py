@@ -102,7 +102,9 @@ def capture(tris: int = 250_000, width: int = 1920, height: int = 1080,
     cfg = RenderConfig(width=width, height=height, seed=seed, samples=1,
                        bounces=bounces, chunk_size=8)
     tile_h = _auto_tile_rows(cfg, pack.n_triangles)
-    (closest, any_hit), packet_mode, _, _ = _choose_intersectors(pack, cfg)
+    (closest, any_hit), packet_mode, _, _, _ = _choose_intersectors(
+        pack, cfg
+    )
     assert packet_mode, "wave capture expects the packet path"
     rec = _Recorder(closest, any_hit)
 

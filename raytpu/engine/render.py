@@ -318,7 +318,7 @@ def _mixed_bounce_query(
 def _trace_paths(
     pack: ScenePack, closest, any_hit, ro, rd, rng, bounces: int,
     count_mask=None, mask=None, sort_bounced=False, mixed_fn=None,
-    cap: float = 0.0, eager: bool = False,
+    cap: float = 0.0, eager: bool = False, bounce_pair=None,
 ):
     """One full path per lane: the reference's ``pixel_color``
     (src/shader.wgsl:321-381), vectorised with masks. ``mask`` restricts
@@ -356,9 +356,19 @@ def _trace_paths(
     n_lights_f = pack.n_lights_f
     NEG_INF = jnp.float32(-jnp.inf)
 
+    # sorted bounce waves route to the strand kernel when available (it
+    # wins 2.4-3.1x on captured bounce waves); primary + first-shadow
+    # waves stay on the packet kernel (which wins the coherent b0s wave).
+    # Results are image-identical either way: the kernels bit-agree on
+    # tri, and shading never reads raw t (_shade_inputs recomputes
+    # barycentrics from the committed triangle).
+    b_closest, b_any = bounce_pair if bounce_pair is not None else (
+        closest, any_hit,
+    )
+
     def bounce_step(
         carry, use_sort=False, use_sort_shadow=False,
-        use_mixed_query=False, defer_nee=False,
+        use_mixed_query=False, defer_nee=False, use_bounce_pair=False,
     ):
         if defer_nee:
             ro, rd, rng, radiance, attenuation, alive, pend = carry
@@ -383,7 +393,8 @@ def _trace_paths(
             tmax = jnp.where(alive, F32_MAX, NEG_INF)
             if use_sort:
                 hit = _sorted_query(
-                    closest, pack, ro, rd, jnp.float32(0.001), tmax, alive,
+                    b_closest if use_bounce_pair else closest,
+                    pack, ro, rd, jnp.float32(0.001), tmax, alive,
                     True,
                 )
             else:
@@ -495,7 +506,8 @@ def _trace_paths(
             shadow_tmax = jnp.where(bounce_on, dist, NEG_INF)
             if use_sort_shadow:
                 blocked = _sorted_query(
-                    any_hit, pack, p, ldir, jnp.float32(0.0), shadow_tmax,
+                    b_any if use_bounce_pair else any_hit,
+                    pack, p, ldir, jnp.float32(0.0), shadow_tmax,
                     bounce_on, False,
                 )
             else:
@@ -564,6 +576,7 @@ def _trace_paths(
             use_sort_shadow=(not use_mixed) and sort_bounced,
             use_mixed_query=use_mixed,
             defer_nee=use_mixed,
+            use_bounce_pair=True,
         )
         if eager or os.environ.get("RAYTPU_UNROLL_BOUNCES"):
             for _ in range(1, bounces):
@@ -624,9 +637,14 @@ def _flat_shade(pack: ScenePack, closest, ro, rd):
 
 def _choose_intersectors(pack: ScenePack, config: RenderConfig):
     """Resolve config.intersector; returns ((closest, any), packet_mode,
-    mixed_fn-or-None, prefer_mixed).  prefer_mixed marks resolutions whose
-    bounce waves should ride the deferred-NEE mixed query regardless of
-    config.bounce_backend (the beyond-VMEM binned-everything path).
+    mixed_fn-or-None, prefer_mixed, bounce_pair-or-None).  prefer_mixed
+    marks resolutions whose bounce waves should ride the deferred-NEE
+    mixed query regardless of config.bounce_backend (the beyond-VMEM
+    binned-everything path). bounce_pair is a (closest, any) pair the
+    engine substitutes for coherence-sorted BOUNCE waves only — the
+    strand kernel, which beats the packet kernel 2.4-3.1x there while
+    the packet kernel keeps primary/first-shadow waves
+    (benchmarks/waves.py ab).
 
     'auto' picks the Pallas packet kernel on TPU whenever the BVH fits its
     VMEM budget, the dense brute-force sweep for small scenes elsewhere,
@@ -679,6 +697,7 @@ def _choose_intersectors(pack: ScenePack, config: RenderConfig):
             True,
             make_binned_query(pack, interpret=interpret),
             True,
+            None,
         )
     if which == "packet":
         try:
@@ -698,11 +717,19 @@ def _choose_intersectors(pack: ScenePack, config: RenderConfig):
             mixed = make_binned_query(pack, interpret=interpret)
         else:
             mixed = make_mixed_query(pack, interpret=interpret)
+        bounce_pair = None
+        if pack.bvh.strand_rows is not None:
+            from ..kernels.strand import make_strand_intersectors
+
+            bounce_pair = make_strand_intersectors(
+                pack, interpret=interpret
+            )
         return (
             make_packet_intersectors(pack, interpret=interpret),
             True,
             mixed,
             False,
+            bounce_pair,
         )
     return (
         make_intersectors(
@@ -711,6 +738,7 @@ def _choose_intersectors(pack: ScenePack, config: RenderConfig):
         False,
         None,
         False,
+        None,
     )
 
 
@@ -761,7 +789,7 @@ def render_tile(
     device shard (parallel/shard.py spp mode) still share this one compiled
     program."""
     w, h = config.width, config.height
-    (closest, any_hit), packet_mode, mixed_fn, prefer_mixed = (
+    (closest, any_hit), packet_mode, mixed_fn, prefer_mixed, bounce_pair = (
         _choose_intersectors(pack, config)
     )
     px, py_local, unpermute = _pixel_layout(w, tile_h, packet_mode)
@@ -802,6 +830,7 @@ def render_tile(
                 sort_bounced=sort_bounced,
                 mixed_fn=mixed_fn if use_mixed else None,
                 cap=cap,
+                bounce_pair=bounce_pair,
             )
         return rng, acc + color
 
@@ -835,7 +864,7 @@ def count_rays(
 @partial(jax.jit, static_argnames=("config", "tile_h", "valid_rows"))
 def _count_tile(pack, camera, y0, config, tile_h, valid_rows):
     w, h = config.width, config.height
-    (closest, any_hit), packet_mode, mixed_fn, prefer_mixed = (
+    (closest, any_hit), packet_mode, mixed_fn, prefer_mixed, bounce_pair = (
         _choose_intersectors(pack, config)
     )
     px, py_local, _ = _pixel_layout(w, tile_h, packet_mode)
@@ -870,6 +899,7 @@ def _count_tile(pack, camera, y0, config, tile_h, valid_rows):
             sort_bounced=sort_bounced,
             mixed_fn=mixed_fn if use_mixed else None,
             cap=cap,
+            bounce_pair=bounce_pair,
         )
         return rng, totals.at[i].set(n)
 

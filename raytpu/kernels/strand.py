@@ -378,3 +378,47 @@ def strand_query(
     if with_stats:
         return t, tri, out[2].reshape(n_blocks, 8, 128)[:, 0, :]
     return t, tri
+
+
+def make_strand_intersectors(pack, tmin: float = 0.001,
+                             interpret: bool = False,
+                             groups: int = 16):
+    """(closest_fn, any_fn) with the engine's (ro, rd, tmin, tmax)
+    signature, traversing the octant-threaded strand layout. The engine
+    routes coherence-sorted BOUNCE waves here (strand beats the packet
+    kernel 2.4-3.1x on every captured bounce wave, benchmarks/waves.py
+    ab) and keeps the packet kernel for primary/first-shadow waves.
+
+    Like make_packet_intersectors, ``tmin`` binds at factory time
+    (closest = 0.001, any-hit = 0.0 per src/shader.wgsl:174-186,312-319);
+    the per-call tmin_ argument is ignored."""
+    from .intersect import Hit
+
+    tree = pack.bvh.strand_rows
+    leaves = pack.bvh.leaf_tris
+
+    def closest(ro, rd, tmin_, tmax):  # tmin_ ignored; see docstring
+        r = ro.shape[0]
+        tmax_r = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
+        t, tri = strand_query(
+            tree, leaves,
+            ro[:, 0], ro[:, 1], ro[:, 2],
+            rd[:, 0], rd[:, 1], rd[:, 2],
+            tmax_r, tmin=tmin, any_hit=False, interpret=interpret,
+            groups=groups,
+        )
+        return Hit(t=t, tri=tri, valid=tri >= 0)
+
+    def any_fn(ro, rd, tmin_, tmax):
+        r = ro.shape[0]
+        tmax_r = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
+        _, tri = strand_query(
+            tree, leaves,
+            ro[:, 0], ro[:, 1], ro[:, 2],
+            rd[:, 0], rd[:, 1], rd[:, 2],
+            tmax_r, tmin=0.0, any_hit=True, interpret=interpret,
+            groups=groups,
+        )
+        return tri >= 0
+
+    return closest, any_fn

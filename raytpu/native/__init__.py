@@ -87,9 +87,12 @@ def native_build_bvh(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
     p0 = np.ascontiguousarray(p0, np.float32)
     e1 = np.ascontiguousarray(e1, np.float32)
     e2 = np.ascontiguousarray(e2, np.float32)
-    nodes = np.empty((2 * n + 1, 8), np.float32)
-    wide = np.empty((n + 1, 128), np.float32)
-    order = np.empty(n + (n + 1) * leaf_size, np.int32)
+    # m = worst-case reference count: n plus the builder's SBVH
+    # duplication budget (n*2/5 + 8, bvh_builder.cpp)
+    m = n + n * 2 // 5 + 8
+    nodes = np.empty((2 * m + 1, 8), np.float32)
+    wide = np.empty((m + 1, 128), np.float32)
+    order = np.empty(m + (m + 1) * leaf_size, np.int32)
     counts = np.zeros(3, np.int32)
 
     def ptr(a, t):

@@ -1,28 +1,42 @@
 // Native BVH builder for raytpu.
 //
 // The reference delegates acceleration-structure builds to the GPU driver
-// (wgpu build_acceleration_structures, src/state.rs:1241); raytpu owns the
-// structure in software, and this C++ builder is the production path for
-// the host-side build (the Python builder in accel/bvh.py stays as the
-// readable fallback/reference — ~100x slower).
+// (wgpu build_acceleration_structures, src/state.rs:1241) and asks for a
+// QUALITY tree (PREFER_FAST_TRACE, src/state.rs:1170-1176); raytpu owns
+// the structure in software, and this C++ builder is the production path
+// for the host-side build (the Python builder in accel/bvh.py stays as
+// the readable fallback/reference — object splits only, ~100x slower).
 //
-// Algorithm (mirrors accel/bvh.py):
-//   * top-down binned SAH (16 bins), largest-extent axis first, remaining
-//     axes as fallback; median split when centroids degenerate or beyond
-//     depth 32 (bounds tree depth, hence the device traversal stack);
-//   * leaves hold up to LEAF_SIZE triangles, assigned leaf rows in DFS
-//     order (the shared triangle order for both device layouts);
+// Algorithm:
+//   * top-down binned SAH (16 bins) over *references* (triangle + box);
+//   * SBVH spatial splits (Stich et al. 2009): when the best object
+//     split's children overlap significantly, a binned spatial split on
+//     the node's largest axis competes on SAH cost. Straddling
+//     references are clipped (Sutherland–Hodgman against the plane,
+//     intersected with the parent fragment's box) and may be emitted to
+//     BOTH sides, bounded by a global duplication budget (0.4n).
+//     Duplicated references carry bit-identical triangle data, so the
+//     engine's lowest-slot tie break keeps every traversal path
+//     bit-agreeing (kernels/strand.py, kernels/intersect_pallas.py);
+//   * median split when centroids degenerate or beyond depth 32 (bounds
+//     tree depth, hence the device traversal stack);
+//   * leaves hold up to LEAF_SIZE references (same-triangle fragments
+//     deduped within a leaf), assigned leaf rows in DFS order (the
+//     shared triangle order for both device layouts);
 //   * emission one: threaded (skip-link) binary layout in DFS pre-order;
 //   * emission two: 8-wide collapse (expand the largest-area interior
 //     cluster root until 8 slots), children packed per 128-lane row.
 //
-// C ABI only (loaded with ctypes): raytpu_bvh_build fills caller-allocated
-// worst-case buffers and reports actual sizes.
+// C ABI only (loaded with ctypes): raytpu_bvh_build fills
+// caller-allocated worst-case buffers and reports actual sizes. With
+// m = n + floor(0.4 n) + 8 (the reference cap), the caller must provide
+// cap_nodes >= 2m+1, cap_wide >= m+1, cap_order >= m + (m+1)*leaf_size.
 
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -30,6 +44,9 @@ namespace {
 constexpr int N_BINS = 16;
 constexpr int MAX_SAH_DEPTH = 32;
 constexpr int BVH8_WIDTH = 8;
+// spatial splits compete only when the object split's children overlap
+// by more than this fraction of the root surface area (Stich's alpha)
+constexpr float SBVH_ALPHA = 1e-5f;
 
 struct V3 {
   float x, y, z;
@@ -40,6 +57,9 @@ static inline V3 vmin(const V3 &a, const V3 &b) {
 }
 static inline V3 vmax(const V3 &a, const V3 &b) {
   return {std::max(a.x, b.x), std::max(a.y, b.y), std::max(a.z, b.z)};
+}
+static inline float get(const V3 &v, int axis) {
+  return axis == 0 ? v.x : axis == 1 ? v.y : v.z;
 }
 
 struct Box {
@@ -53,87 +73,163 @@ struct Box {
     lo = vmin(lo, b.lo);
     hi = vmax(hi, b.hi);
   }
+  bool valid() const { return lo.x <= hi.x && lo.y <= hi.y && lo.z <= hi.z; }
+  Box intersect(const Box &b) const {
+    return {vmax(lo, b.lo), vmin(hi, b.hi)};
+  }
   float area() const {
     float dx = std::max(hi.x - lo.x, 0.0f);
     float dy = std::max(hi.y - lo.y, 0.0f);
     float dz = std::max(hi.z - lo.z, 0.0f);
     return dx * dy + dy * dz + dz * dx;
   }
+  V3 center() const {
+    return {(lo.x + hi.x) * 0.5f, (lo.y + hi.y) * 0.5f,
+            (lo.z + hi.z) * 0.5f};
+  }
+};
+
+struct Ref {
+  int tri;
+  Box box;  // clipped fragment bounds (whole-triangle box for roots)
 };
 
 struct Rec {
   Box box;
   int left = -1;   // record index, -1 for leaf
   int right = -1;  // record index
-  int first = -1;  // leaf: first index into ids scratch
-  int count = 0;   // leaf: triangle count
+  int first = -1;  // leaf: first index into leaf_ids
+  int count = 0;   // leaf: reference count (post-dedupe)
 };
 
 struct Builder {
   const float *p0, *e1, *e2;
   int n;
   int leaf_size;
-  std::vector<Box> tri_box;
-  std::vector<V3> centroid;
-  std::vector<int> ids;  // permuted in place by splits
+  int spare;  // remaining reference-duplication budget
   std::vector<Rec> recs;
+  std::vector<int> leaf_ids;  // leaf-contiguous tri ids (dedupe applied)
+  float root_area = 0.0f;
 
-  int build(int first, int count, int depth) {
+  V3 vert(int tri, int k) const {
+    V3 a{p0[3 * tri], p0[3 * tri + 1], p0[3 * tri + 2]};
+    if (k == 0) return a;
+    const float *e = k == 1 ? e1 : e2;
+    return {a.x + e[3 * tri], a.y + e[3 * tri + 1], a.z + e[3 * tri + 2]};
+  }
+
+  // box of the triangle clipped to the half-space (axis <= plane when
+  // keep_lo, else axis >= plane), intersected with the fragment's box
+  Box clip_half(int tri, int axis, float plane, bool keep_lo,
+                const Box &frag) const {
+    V3 poly[8];
+    int np = 3;
+    poly[0] = vert(tri, 0);
+    poly[1] = vert(tri, 1);
+    poly[2] = vert(tri, 2);
+    V3 out[8];
+    int no = 0;
+    for (int i = 0; i < np; ++i) {
+      V3 a = poly[i], b = poly[(i + 1) % np];
+      float da = get(a, axis) - plane, db = get(b, axis) - plane;
+      bool ina = keep_lo ? da <= 0.0f : da >= 0.0f;
+      bool inb = keep_lo ? db <= 0.0f : db >= 0.0f;
+      if (ina) out[no++] = a;
+      if (ina != inb) {
+        float t = da / (da - db);
+        out[no++] = {a.x + t * (b.x - a.x), a.y + t * (b.y - a.y),
+                     a.z + t * (b.z - a.z)};
+      }
+    }
+    Box b;
+    for (int i = 0; i < no; ++i) b.grow(out[i]);
+    return b.intersect(frag);
+  }
+
+  int build(std::vector<Ref> refs, int depth) {
     Box box;
-    for (int i = 0; i < count; ++i) box.grow(tri_box[ids[first + i]]);
+    for (const Ref &r : refs) box.grow(r.box);
+    if (depth == 0) root_area = box.area();
 
     int rec = (int)recs.size();
     recs.push_back({});
     recs[rec].box = box;
 
-    int mid = -1;
-    if (count > leaf_size) {
-      if (depth < MAX_SAH_DEPTH) mid = sah_split(first, count);
-      if (mid < 0) mid = count / 2;  // median fallback (order preserved)
+    int count = (int)refs.size();
+    std::vector<Ref> lt, rt;
+    bool split_done = false;
+    if (count > leaf_size && depth < MAX_SAH_DEPTH) {
+      split_done = sah_split(refs, box, lt, rt);
     }
-    if (mid < 0) {
+    if (!split_done && count > leaf_size) {
+      // median fallback (order preserved; also the beyond-depth route)
+      int half = count / 2;
+      lt.assign(refs.begin(), refs.begin() + half);
+      rt.assign(refs.begin() + half, refs.end());
+      split_done = true;
+    }
+    if (!split_done) {
+      // leaf: dedupe fragments of the same triangle (spatial splits can
+      // land both halves here); keep first-seen order for determinism
+      int first = (int)leaf_ids.size();
+      int kept = 0;
+      for (const Ref &r : refs) {
+        bool dup = false;
+        for (int i = 0; i < kept; ++i)
+          if (leaf_ids[first + i] == r.tri) {
+            dup = true;
+            break;
+          }
+        if (!dup) leaf_ids.push_back(r.tri), ++kept;
+      }
       recs[rec].first = first;
-      recs[rec].count = count;
+      recs[rec].count = kept;
       return rec;
     }
-    int l = build(first, mid, depth + 1);
-    int r = build(first + mid, count - mid, depth + 1);
+    refs.clear();
+    refs.shrink_to_fit();
+    int l = build(std::move(lt), depth + 1);
+    int r = build(std::move(rt), depth + 1);
     recs[rec].left = l;
     recs[rec].right = r;
     return rec;
   }
 
-  // partitions ids[first..first+count) and returns the left count, or -1
-  int sah_split(int first, int count) {
+  // best binned object split; returns (cost, axis, plane-bin, overlap
+  // area of the two child boxes) with cost = inf when none found
+  struct ObjSplit {
+    float cost = 3.4e38f;
+    int axis = -1;
+    float base = 0, scale = 0;
+    int bin = -1;
+    float overlap = 0;
+  };
+
+  ObjSplit object_split(const std::vector<Ref> &refs) const {
+    ObjSplit best;
     V3 cmin{3.4e38f, 3.4e38f, 3.4e38f}, cmax{-3.4e38f, -3.4e38f, -3.4e38f};
-    for (int i = 0; i < count; ++i) {
-      const V3 &c = centroid[ids[first + i]];
+    for (const Ref &r : refs) {
+      V3 c = r.box.center();
       cmin = vmin(cmin, c);
       cmax = vmax(cmax, c);
     }
-    float ext[3] = {cmax.x - cmin.x, cmax.y - cmin.y, cmax.z - cmin.z};
-    int order[3] = {0, 1, 2};
-    std::sort(order, order + 3, [&](int a, int b) { return ext[a] > ext[b]; });
-
-    for (int oi = 0; oi < 3; ++oi) {
-      int axis = order[oi];
-      if (ext[axis] <= 0.0f) continue;
-      float base = axis == 0 ? cmin.x : axis == 1 ? cmin.y : cmin.z;
-      float scale = N_BINS * (1.0f - 1e-6f) / ext[axis];
-
+    int count = (int)refs.size();
+    for (int axis = 0; axis < 3; ++axis) {
+      float ext = get(cmax, axis) - get(cmin, axis);
+      if (ext <= 0.0f) continue;
+      float base = get(cmin, axis);
+      float scale = N_BINS * (1.0f - 1e-6f) / ext;
       int counts[N_BINS] = {0};
       Box bins[N_BINS];
-      for (int i = 0; i < count; ++i) {
-        int t = ids[first + i];
-        const V3 &c = centroid[t];
-        float cc = axis == 0 ? c.x : axis == 1 ? c.y : c.z;
-        int b = std::min((int)((cc - base) * scale), N_BINS - 1);
+      for (const Ref &r : refs) {
+        int b = std::min((int)((get(r.box.center(), axis) - base) * scale),
+                         N_BINS - 1);
         counts[b]++;
-        bins[b].grow(tri_box[t]);
+        bins[b].grow(r.box);
       }
-      // sweep SAH cost of splitting after bin k
-      float larea[N_BINS], rarea[N_BINS];
+      float larea[N_BINS];
       int lcount[N_BINS];
+      Box lbox[N_BINS];
       Box acc;
       int cnt = 0;
       for (int b = 0; b < N_BINS; ++b) {
@@ -141,40 +237,151 @@ struct Builder {
         cnt += counts[b];
         larea[b] = acc.area();
         lcount[b] = cnt;
+        lbox[b] = acc;
       }
       Box racc;
+      Box rbox[N_BINS];
+      float rarea[N_BINS];
       for (int b = N_BINS - 1; b >= 0; --b) {
         racc.grow(bins[b]);
         rarea[b] = racc.area();
+        rbox[b] = racc;
       }
-      float best_cost = 3.4e38f;
-      int best = -1;
       for (int b = 0; b < N_BINS - 1; ++b) {
         int lc = lcount[b], rc = count - lc;
         if (lc == 0 || rc == 0) continue;
         float cost = larea[b] * lc + rarea[b + 1] * rc;
-        if (cost < best_cost) {
-          best_cost = cost;
-          best = b;
+        if (cost < best.cost) {
+          best = {cost, axis, base, scale, b,
+                  lbox[b].intersect(rbox[b + 1]).valid()
+                      ? lbox[b].intersect(rbox[b + 1]).area()
+                      : 0.0f};
         }
       }
-      if (best < 0) continue;
-      // stable partition keeps id order inside each side deterministic
-      std::vector<int> lt, rt;
-      lt.reserve(count);
-      rt.reserve(count);
-      for (int i = 0; i < count; ++i) {
-        int t = ids[first + i];
-        const V3 &c = centroid[t];
-        float cc = axis == 0 ? c.x : axis == 1 ? c.y : c.z;
-        int b = std::min((int)((cc - base) * scale), N_BINS - 1);
-        (b <= best ? lt : rt).push_back(t);
-      }
-      std::copy(lt.begin(), lt.end(), ids.begin() + first);
-      std::copy(rt.begin(), rt.end(), ids.begin() + first + (int)lt.size());
-      return (int)lt.size();
     }
-    return -1;
+    return best;
+  }
+
+  // partitions refs into lt/rt; returns true when a split was applied
+  bool sah_split(const std::vector<Ref> &refs, const Box &node_box,
+                 std::vector<Ref> &lt, std::vector<Ref> &rt) {
+    ObjSplit obj = object_split(refs);
+
+    // --- spatial split candidate (largest node-box axis) ---
+    float best_sp_cost = 3.4e38f;
+    int sp_axis = -1;
+    float sp_plane = 0;
+    {
+      float ext[3] = {node_box.hi.x - node_box.lo.x,
+                      node_box.hi.y - node_box.lo.y,
+                      node_box.hi.z - node_box.lo.z};
+      int axis = ext[1] > ext[0] ? (ext[2] > ext[1] ? 2 : 1)
+                                 : (ext[2] > ext[0] ? 2 : 0);
+      bool consider = spare > 0 && ext[axis] > 0.0f &&
+                      obj.overlap > SBVH_ALPHA * root_area;
+      if (consider) {
+        float lo = get(node_box.lo, axis);
+        float scale = N_BINS / ext[axis];
+        int entry[N_BINS] = {0}, exit_[N_BINS] = {0};
+        Box bins[N_BINS];
+        for (const Ref &r : refs) {
+          int b0 = std::clamp((int)((get(r.box.lo, axis) - lo) * scale), 0,
+                              N_BINS - 1);
+          int b1 = std::clamp((int)((get(r.box.hi, axis) - lo) * scale), 0,
+                              N_BINS - 1);
+          entry[b0]++;
+          exit_[b1]++;
+          if (b0 == b1) {
+            bins[b0].grow(r.box);
+          } else {
+            // tight per-bin bounds: clip the triangle to each bin slab
+            for (int b = b0; b <= b1; ++b) {
+              float p_lo = lo + b / (float)N_BINS * ext[axis];
+              float p_hi = lo + (b + 1) / (float)N_BINS * ext[axis];
+              Box c = clip_half(r.tri, axis, p_hi, true, r.box);
+              if (b > b0) {
+                // also clip away the part below the bin's lower plane
+                Box c2 = clip_half(r.tri, axis, p_lo, false, r.box);
+                c = c.intersect(c2);
+              }
+              if (c.valid()) bins[b].grow(c);
+            }
+          }
+        }
+        float larea[N_BINS], rarea[N_BINS];
+        int lcount[N_BINS], rcount[N_BINS];
+        Box acc;
+        int cnt = 0;
+        for (int b = 0; b < N_BINS; ++b) {
+          acc.grow(bins[b]);
+          cnt += entry[b];
+          larea[b] = acc.area();
+          lcount[b] = cnt;
+        }
+        Box racc;
+        cnt = 0;
+        for (int b = N_BINS - 1; b >= 0; --b) {
+          racc.grow(bins[b]);
+          cnt += exit_[b];
+          rarea[b] = racc.area();
+          rcount[b] = cnt;
+        }
+        for (int b = 0; b < N_BINS - 1; ++b) {
+          int lc = lcount[b], rc = rcount[b + 1];
+          if (lc == 0 || rc == 0) continue;
+          float cost = larea[b] * lc + rarea[b + 1] * rc;
+          if (cost < best_sp_cost) {
+            best_sp_cost = cost;
+            sp_axis = axis;
+            sp_plane = lo + (b + 1) / (float)N_BINS * ext[axis];
+          }
+        }
+      }
+    }
+
+    if (sp_axis >= 0 && best_sp_cost < obj.cost) {
+      // --- apply the spatial split ---
+      int count = (int)refs.size();
+      for (const Ref &r : refs) {
+        if (get(r.box.hi, sp_axis) <= sp_plane) {
+          lt.push_back(r);
+        } else if (get(r.box.lo, sp_axis) >= sp_plane) {
+          rt.push_back(r);
+        } else {
+          Box lb = clip_half(r.tri, sp_axis, sp_plane, true, r.box);
+          Box rb = clip_half(r.tri, sp_axis, sp_plane, false, r.box);
+          if (lb.valid() && rb.valid() && spare > 0) {
+            lt.push_back({r.tri, lb});
+            rt.push_back({r.tri, rb});
+            --spare;
+          } else if (lb.valid() && !rb.valid()) {
+            lt.push_back({r.tri, lb});
+          } else if (rb.valid() && !lb.valid()) {
+            rt.push_back({r.tri, rb});
+          } else {
+            // budget exhausted (or degenerate): whole fragment to the
+            // side holding more of its extent
+            float mid = (get(r.box.lo, sp_axis) + get(r.box.hi, sp_axis)) *
+                        0.5f;
+            (mid <= sp_plane ? lt : rt).push_back(r);
+          }
+        }
+      }
+      (void)count;
+      if (!lt.empty() && !rt.empty()) return true;
+      lt.clear();
+      rt.clear();
+    }
+
+    if (obj.axis < 0) return false;
+    // --- apply the object split (stable partition) ---
+    for (const Ref &r : refs) {
+      int b = std::min(
+          (int)((get(r.box.center(), obj.axis) - obj.base) * obj.scale),
+          N_BINS - 1);
+      (b <= obj.bin ? lt : rt).push_back(r);
+    }
+    return !lt.empty() && !rt.empty();
   }
 };
 
@@ -182,13 +389,13 @@ struct Builder {
 
 extern "C" {
 
-// Returns 0 on success. Caller allocates:
+// Returns 0 on success. Caller allocates (m = n + n*2/5 + 8):
 //   nodes8      [cap_nodes * 8]  f32  (threaded rows: bmin, bmax, miss,
 //                                      leaf_row bitcast int32)
 //   node8_rows  [cap_wide * 128] f32  (8-wide rows)
-//   tri_order   [cap_order]      i32  (-1 padding)
-// with cap_nodes >= 2*n+1, cap_wide >= n+1, cap_order >= n + (n+1)*leaf_size.
-// out_counts = {n_nodes, n_wide, order_len}.
+//   tri_order   [cap_order]      i32  (-1 padding; SBVH may repeat ids)
+// with cap_nodes >= 2*m+1, cap_wide >= m+1, cap_order >= m +
+// (m+1)*leaf_size. out_counts = {n_nodes, n_wide, order_len}.
 int raytpu_bvh_build(const float *p0, const float *e1, const float *e2,
                      int n, int leaf_size, float *nodes8, float *node8_rows,
                      int32_t *tri_order, int32_t *out_counts) {
@@ -198,24 +405,18 @@ int raytpu_bvh_build(const float *p0, const float *e1, const float *e2,
   B.e2 = e2;
   B.n = n;
   B.leaf_size = leaf_size;
-  B.tri_box.resize(n);
-  B.centroid.resize(n);
-  B.ids.resize(n);
+  B.spare = n * 2 / 5 + 8;
+  std::vector<Ref> roots(n);
   for (int i = 0; i < n; ++i) {
-    V3 a{p0[3 * i], p0[3 * i + 1], p0[3 * i + 2]};
-    V3 b{a.x + e1[3 * i], a.y + e1[3 * i + 1], a.z + e1[3 * i + 2]};
-    V3 c{a.x + e2[3 * i], a.y + e2[3 * i + 1], a.z + e2[3 * i + 2]};
     Box bb;
-    bb.grow(a);
-    bb.grow(b);
-    bb.grow(c);
-    B.tri_box[i] = bb;
-    B.centroid[i] = {(bb.lo.x + bb.hi.x) * 0.5f, (bb.lo.y + bb.hi.y) * 0.5f,
-                     (bb.lo.z + bb.hi.z) * 0.5f};
-    B.ids[i] = i;
+    bb.grow(B.vert(i, 0));
+    bb.grow(B.vert(i, 1));
+    bb.grow(B.vert(i, 2));
+    roots[i] = {i, bb};
   }
   B.recs.reserve(2 * n + 1);
-  int root = B.build(0, n, 0);
+  B.leaf_ids.reserve(n + B.spare);
+  int root = B.build(std::move(roots), 0);
 
   // --- leaf rows in DFS order (shared triangle order) ---
   int n_recs = (int)B.recs.size();
@@ -233,7 +434,7 @@ int raytpu_bvh_build(const float *p0, const float *e1, const float *e2,
       } else {
         leaf_row[r] = order_len / leaf_size;
         for (int i = 0; i < rec.count; ++i)
-          tri_order[order_len + i] = B.ids[rec.first + i];
+          tri_order[order_len + i] = B.leaf_ids[rec.first + i];
         int pad = (leaf_size - rec.count % leaf_size) % leaf_size;
         for (int i = 0; i < pad; ++i) tri_order[order_len + rec.count + i] = -1;
         order_len += rec.count + pad;

@@ -237,6 +237,18 @@ def pack_scene(
 
         tl = build_treelets(bvh8, leaf_tris)
 
+    # octant-threaded strand layout: the bounce-wave traversal kernel
+    # (kernels/strand.py). Built for scenes past the bounce-sort
+    # threshold whose table fits the kernel's VMEM budget alongside the
+    # leaf rows (beyond-VMEM scenes use the binned path instead).
+    strand_rows = None
+    strand_bytes = -(-bvh.n_nodes // 2) * 128 * 4
+    leaf_bytes = leaf_tris.shape[0] * 128 * 4
+    if n_slots > 4096 and strand_bytes + leaf_bytes <= 100 * 1024 * 1024:
+        from ..accel.strandtree import build_strand_tree
+
+        strand_rows = build_strand_tree(bvh).rows
+
     return ScenePack(
         tri_p0=jnp.asarray(tri_p0),
         tri_e1=jnp.asarray(tri_e1),
@@ -254,6 +266,9 @@ def pack_scene(
             nodes=jnp.asarray(nodes),
             node8_rows=jnp.asarray(bvh8.node_rows),
             leaf_tris=jnp.asarray(leaf_tris),
+            strand_rows=(
+                None if strand_rows is None else jnp.asarray(strand_rows)
+            ),
         ),
         has_textures=len(scene.textures) > 0,
         scene_diag=_quantize_sig(

@@ -93,6 +93,11 @@ class BvhPack:
     nodes: Any  # [N, 8] f32
     node8_rows: Any  # [N8, 128] f32
     leaf_tris: Any  # [Nl, 80] f32
+    # octant-threaded layout for the strand kernel (accel/strandtree.py):
+    # two nodes per 128-lane row, 8 (hit, miss) link pairs per node — one
+    # near-first DFS threading per ray-direction octant. None when the
+    # scene is under the bounce-sort threshold or past the VMEM budget.
+    strand_rows: Any = None  # [ceil(N/2), 128] f32
 
 
 @_pytree_dataclass(meta_fields=("has_textures", "scene_diag"))

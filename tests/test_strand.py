@@ -89,7 +89,17 @@ def test_strand_closest_matches_brute(ntri):
     assert (tri[::7] == -1).all()
     live = tmax >= 0
     hit = btri >= 0
-    np.testing.assert_array_equal(tri[live], btri[live])
+    np.testing.assert_array_equal(tri[live] >= 0, hit[live])
+    # SBVH duplication (native builder) may hold one triangle at several
+    # slots; brute tie-breaks over ALL slots, a tree walk only over the
+    # visited leaves' slots — so parity is defined at the ORIGINAL
+    # triangle, not the slot (the slots carry bit-identical data, so the
+    # engine shades identically either way)
+    order = bvh.tri_order
+    np.testing.assert_array_equal(
+        order[np.maximum(tri[live], 0)] * hit[live],
+        order[np.maximum(btri[live], 0)] * hit[live],
+    )
     # t: interpret-mode (unfused) vs compiled (fused) arithmetic differ by
     # <= 1 ulp — same tolerance precedent as the packet-kernel tests; the
     # engine consumes tri (and recomputed barycentrics), never raw t
