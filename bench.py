@@ -263,7 +263,85 @@ def _build_pbr_nee_glb(path):
     b.write(path)
 
 
+def selftest() -> int:
+    """Compiled-kernel (Mosaic) smoke test: the intersector paths must
+    agree on real TPU hardware, where the CPU test suite only ever runs
+    them interpreted (tests/conftest.py pins the CPU backend). Asserts,
+    on a >4096-slot scene and a deterministic incoherent ray set:
+
+    * brute / XLA-threaded / packet / strand closest hits commit the
+      same TRIANGLE (compared by leaf-row data — SBVH duplication makes
+      slot ids path-dependent) at the same t (<=1e-6 rel: XLA fuses each
+      path's Moller-Trumbore differently);
+    * any-hit blocked sets are identical.
+
+    Exit codes: 0 = pass, 42 = no TPU (callers skip), 1 = mismatch.
+    """
+    import jax.numpy as jnp
+
+    platform = jax.devices()[0].platform.lower()
+    if "tpu" not in platform and "axon" not in platform:
+        log("[selftest] no TPU backend (platform={}): skip".format(platform))
+        return 42
+    from benchmarks.scenes import build_atrium
+    from raytpu.kernels.intersect import make_intersectors
+    from raytpu.kernels.intersect_pallas import make_packet_intersectors
+    from raytpu.kernels.strand import make_strand_intersectors
+
+    scene = build_atrium(6000)
+    pack = pack_scene(scene)
+    assert pack.n_triangles > 4096 and pack.bvh.strand_rows is not None
+
+    rng = np.random.default_rng(7)
+    n = 16384
+    ro = (rng.random((n, 3), np.float32) - 0.5) * 14
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    octant = (rd[:, 0] < 0) + 2 * (rd[:, 1] < 0) + 4 * (rd[:, 2] < 0)
+    idx = np.argsort(octant, kind="stable")  # strand-kernel invariant
+    ro, rd = jnp.asarray(ro[idx]), jnp.asarray(rd[idx])
+    tmax = jnp.full((n,), 3.40282347e38, jnp.float32)
+    stmax = jnp.full((n,), 4.0, jnp.float32)
+
+    paths = {
+        "brute": make_intersectors(pack, which="brute"),
+        "bvh": make_intersectors(pack, which="bvh"),
+        "packet": make_packet_intersectors(pack),
+        "strand": make_strand_intersectors(pack),
+    }
+    lv = np.asarray(pack.bvh.leaf_tris).reshape(-1, 10)[:, :9]
+    ok = True
+    base = None
+    for name, (closest, any_fn) in paths.items():
+        hit = jax.jit(closest)(ro, rd, jnp.float32(0.001), tmax)
+        blocked = np.asarray(
+            jax.jit(any_fn)(ro, rd, jnp.float32(0.0), stmax)
+        )
+        t = np.asarray(hit.t)
+        tri = np.asarray(hit.tri)
+        if base is None:
+            base = (t, tri, blocked)
+            log(f"[selftest] {name}: {int((tri >= 0).sum())} hits, "
+                f"{int(blocked.sum())} blocked (reference)")
+            continue
+        bt, btri, bblocked = base
+        h = tri >= 0
+        same_hits = bool((h == (btri >= 0)).all())
+        same_tri = same_hits and bool((lv[tri[h]] == lv[btri[h]]).all())
+        same_t = same_hits and bool(
+            np.allclose(t[h], bt[h], rtol=1e-6, atol=0.0)
+        )
+        same_blk = bool((blocked == bblocked).all())
+        log(f"[selftest] {name}: tri={same_tri} t={same_t} "
+            f"blocked={same_blk}")
+        ok = ok and same_tri and same_t and same_blk
+    log(f"[selftest] {'PASS' if ok else 'FAIL'}")
+    return 0 if ok else 1
+
+
 def main():
+    if "--selftest" in sys.argv:
+        sys.exit(selftest())
     quick = "--quick" in sys.argv
 
     cube = raytpu.load_scene("/root/reference/cube.glb")

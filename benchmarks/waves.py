@@ -359,10 +359,18 @@ def _ab_main(args):
             tmin=w["tmin"], any_hit=any_hit, with_stats=True,
         )
         tp, ts = np.asarray(tri_p), np.asarray(tri_s)
-        agree = (
-            bool(((tp >= 0) == (ts >= 0)).all()) if any_hit
-            else bool((tp == ts).all())
-        )
+        if any_hit:
+            agree = bool(((tp >= 0) == (ts >= 0)).all())
+        else:
+            # SBVH duplication: two walks over DIFFERENT tree topologies
+            # (BVH8 vs binary strand) can commit different slots of the
+            # same triangle — compare the committed slots' triangle DATA
+            # (duplicated slots carry bit-identical rows), not the slot
+            lv = np.asarray(leaves).reshape(-1, 10)[:, :9]
+            hit = tp >= 0
+            agree = bool(((tp >= 0) == (ts >= 0)).all()) and bool(
+                (lv[tp[hit]] == lv[ts[hit]]).all()
+            )
         s = np.asarray(stats)
         print(f"| {name} | packet | {r/dt_p/1e6:8.1f} | {dt_p*1000:7.2f} "
               f"| | | |", flush=True)

@@ -1,0 +1,34 @@
+"""Compiled-kernel smoke test (VERDICT r2 item 7).
+
+The suite pins the CPU backend (tests/conftest.py), so every Pallas
+kernel it exercises runs interpreted — a Mosaic-only regression (layout,
+scoped-VMEM, scalar-store rules) would fail no test. This test drives
+``bench.py --selftest`` in a SUBPROCESS (the pin is process-wide), which
+compiles the four single-launch intersector paths on real TPU hardware
+and asserts cross-path agreement: same committed triangle (by leaf-row
+data — SBVH duplication makes slot ids path-dependent), same t, same
+any-hit blocked set. Skips cleanly when no TPU is attached (exit 42).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.tpu
+def test_compiled_intersectors_agree_on_tpu():
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--selftest"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1800,
+    )
+    if proc.returncode == 42:
+        pytest.skip("no TPU backend available")
+    assert proc.returncode == 0, proc.stderr[-4000:]
