@@ -245,20 +245,16 @@ def _sorted_query(fn, pack, ro, rd, tmin, tmax, alive, returns_hit):
 
 
 def _mixed_bounce_query(
-    mixed_fn, pack, ro, rd, alive, s_ro, s_rd, s_dist, s_on, cap: float
+    mixed_fn, pack, ro, rd, alive, s_ro, s_rd, s_dist, s_on
 ):
     """One sorted mixed-packet traversal serving a bounce's continuation
     rays AND the previous bounce's deferred NEE shadow rays (they share
     origins, so one coherence sort and one tree walk cover both — the two
     separate sorted queries this replaces each walked nearly the same
-    node set).
-
-    With ``cap > 0`` the walk runs in two exact rounds partitioning the
-    t line: round 1 bounds every lane to [tmin, cap) (closest) /
-    [0, min(dist, cap)] (shadow) — on enclosed scenes most bounce rays
-    resolve here against a *near* node set many times smaller than the
-    scene; round 2 re-traverses only unresolved lanes over [cap, inf)
-    with the slab near-clamp at cap culling the near ball entirely.
+    node set). Beyond-VMEM route only: on resident scenes the strand
+    bounce path won the round-3 A/B and the deferred-NEE resident arm
+    (round-2 ``bounce_backend="mixed"`` + capped rounds) was retired as a
+    measured loss (docs/PROFILE_r2.md backend table).
 
     Returns (Hit for the continuation rays, blocked mask for the shadow
     rays)."""
@@ -284,31 +280,7 @@ def _mixed_bounce_query(
     )
     so = jnp.stack([ox, oy, oz], axis=-1)
     sd = jnp.stack([dx, dy, dz], axis=-1)
-    if cap > 0.0:
-        t1, tri1 = mixed_fn(
-            so, sd, jnp.minimum(tm, jnp.float32(cap)), sm,
-            tmin=0.001, shadow_tmin=0.0,
-        )
-        # unresolved: no hit in the near band and the true range extends
-        # past the cap (dead lanes are -inf and can never qualify)
-        unresolved = (tri1 < 0) & (tm > cap)
-
-        def far_round(_):
-            return mixed_fn(
-                so, sd, jnp.where(unresolved, tm, NEG_INF), sm,
-                tmin=cap, shadow_tmin=cap,
-            )
-
-        def no_round(_):
-            return jnp.zeros_like(t1), jnp.full_like(tri1, -1)
-
-        t2, tri2 = jax.lax.cond(
-            jnp.any(unresolved), far_round, no_round, 0
-        )
-        t = jnp.where(tri1 >= 0, t1, t2)
-        tri = jnp.where(tri1 >= 0, tri1, tri2)
-    else:
-        t, tri = mixed_fn(so, sd, tm, sm, tmin=0.001, shadow_tmin=0.0)
+    t, tri = mixed_fn(so, sd, tm, sm, tmin=0.001, shadow_tmin=0.0)
     _, t_u, tri_u = jax.lax.sort((si, t, tri), num_keys=1)
     hit = Hit(t=t_u[:r], tri=tri_u[:r], valid=tri_u[:r] >= 0)
     blocked = tri_u[r:] >= 0
@@ -318,7 +290,7 @@ def _mixed_bounce_query(
 def _trace_paths(
     pack: ScenePack, closest, any_hit, ro, rd, rng, bounces: int,
     count_mask=None, mask=None, sort_bounced=False, mixed_fn=None,
-    cap: float = 0.0, eager: bool = False, bounce_pair=None,
+    eager: bool = False, bounce_pair=None,
 ):
     """One full path per lane: the reference's ``pixel_color``
     (src/shader.wgsl:321-381), vectorised with masks. ``mask`` restricts
@@ -382,7 +354,7 @@ def _trace_paths(
             p_p, p_dir, p_dist, p_contrib, p_on = pend
             hit, blocked = _mixed_bounce_query(
                 mixed_fn, pack, ro, rd, alive,
-                p_p, p_dir, p_dist, p_on, cap,
+                p_p, p_dir, p_dist, p_on,
             )
             radiance = radiance + jnp.where(
                 (p_on & ~blocked)[:, None], p_contrib, 0.0
@@ -650,7 +622,6 @@ def _choose_intersectors(pack: ScenePack, config: RenderConfig):
     VMEM budget, the dense brute-force sweep for small scenes elsewhere,
     and the XLA threaded-BVH loop otherwise."""
     from ..kernels.intersect_pallas import (
-        make_mixed_query,
         make_packet_intersectors,
         vmem_budget_ok,
     )
@@ -705,6 +676,7 @@ def _choose_intersectors(pack: ScenePack, config: RenderConfig):
         except Exception:
             platform = "cpu"
         interpret = not ("tpu" in platform or "axon" in platform)
+        mixed = None
         if config.bounce_backend == "binned":
             if pack.tl_nodes is None:
                 raise ValueError(
@@ -715,8 +687,6 @@ def _choose_intersectors(pack: ScenePack, config: RenderConfig):
             from ..kernels.binned import make_binned_query
 
             mixed = make_binned_query(pack, interpret=interpret)
-        else:
-            mixed = make_mixed_query(pack, interpret=interpret)
         bounce_pair = None
         if pack.bvh.strand_rows is not None:
             from ..kernels.strand import make_strand_intersectors
@@ -805,12 +775,7 @@ def render_tile(
     pyf = py.astype(jnp.float32)
     sort_bounced = packet_mode and pack.n_triangles > 4096
     use_mixed = sort_bounced and (
-        prefer_mixed or config.bounce_backend in ("mixed", "binned")
-    )
-    cap = (
-        config.bounce_cap_frac * pack.scene_diag
-        if config.bounce_backend == "mixed" and use_mixed
-        and config.bounce_cap_frac > 0 else 0.0
+        prefer_mixed or config.bounce_backend == "binned"
     )
 
     def sample_body(_, carry):
@@ -829,7 +794,6 @@ def render_tile(
                 mask=in_grid,
                 sort_bounced=sort_bounced,
                 mixed_fn=mixed_fn if use_mixed else None,
-                cap=cap,
                 bounce_pair=bounce_pair,
             )
         return rng, acc + color
@@ -878,12 +842,7 @@ def _count_tile(pack, camera, y0, config, tile_h, valid_rows):
     pxf, pyf = px.astype(jnp.float32), py.astype(jnp.float32)
     sort_bounced = packet_mode and pack.n_triangles > 4096
     use_mixed = sort_bounced and (
-        prefer_mixed or config.bounce_backend in ("mixed", "binned")
-    )
-    cap = (
-        config.bounce_cap_frac * pack.scene_diag
-        if config.bounce_backend == "mixed" and use_mixed
-        and config.bounce_cap_frac > 0 else 0.0
+        prefer_mixed or config.bounce_backend == "binned"
     )
 
     def body(i, carry):
@@ -898,7 +857,6 @@ def _count_tile(pack, camera, y0, config, tile_h, valid_rows):
             count_mask=in_grid, mask=in_grid,
             sort_bounced=sort_bounced,
             mixed_fn=mixed_fn if use_mixed else None,
-            cap=cap,
             bounce_pair=bounce_pair,
         )
         return rng, totals.at[i].set(n)

@@ -599,21 +599,8 @@ def make_packet_intersectors(pack, tmin: float = 0.001,
     return closest, any_fn
 
 
-def make_mixed_query(pack, interpret: bool = False, packet: int = PACKET):
-    """Raw mixed-packet query over a ScenePack's BVH8: (ro [R,3], rd [R,3],
-    tmax [R], smask [R], tmin=, shadow_tmin=) -> (t, tri). smask flags
-    shadow lanes with 1.0 (see packet_query's mixed contract);
-    tmin/shadow_tmin must be Python floats (compile-time constants)."""
-    node8 = pack.bvh.node8_rows
-    leaves = pack.bvh.leaf_tris
-
-    def mixed(ro, rd, tmax, smask, *, tmin: float, shadow_tmin: float):
-        return packet_query(
-            node8, leaves,
-            ro[:, 0], ro[:, 1], ro[:, 2],
-            rd[:, 0], rd[:, 1], rd[:, 2],
-            tmax, smask, tmin=tmin, shadow_tmin=shadow_tmin, mixed=True,
-            interpret=interpret, packet=packet,
-        )
-
-    return mixed
+# (a make_mixed_query factory for the round-2 resident deferred-NEE
+# backend lived here; that engine arm measured slower end-to-end and was
+# retired — docs/PROFILE_r2.md backend table. packet_query's mixed=True
+# per-lane mode stays: it defines the smask contract the beyond-VMEM
+# binned kernel implements, and tests/test_intersect.py pins it.)

@@ -47,20 +47,16 @@ class RenderConfig:
     bruteforce_max_tris: int = 2048  # scenes at/below this skip the BVH
     intersector: str = "auto"  # "auto" | "brute" | "bvh"
     # how the packet path traverses bounce-wave queries:
-    #   "sorted" — separate coherence-sorted continuation + shadow queries
-    #   "mixed"  — each bounce's NEE shadow query is deferred and rides the
-    #              next bounce's continuation traversal in one mixed packet
-    #              (measured perf-neutral-to-negative end-to-end on the
-    #              atrium headline despite standalone wins, docs/
-    #              PROFILE_r2.md — kept as the measured A/B arm)
+    #   "sorted" — coherence-sorted continuation + shadow queries, routed
+    #              to the strand kernel when the pack carries a strand
+    #              tree (kernels/strand.py)
     #   "binned" — deferred-NEE rays are binned by treelet and walk only
-    #              their treelet's streamed window (kernels/binned.py)
+    #              their treelet's streamed window (kernels/binned.py) —
+    #              the beyond-VMEM route, forced automatically there
+    # (a round-2 "mixed" resident arm — deferred NEE riding the next
+    # continuation packet, optionally in capped two-round form — measured
+    # slower end-to-end and was retired; record: docs/PROFILE_r2.md)
     bounce_backend: str = "sorted"
-    # mixed backend only: bounce rays first traverse with tmax capped to
-    # this fraction of the scene diagonal; only rays that miss within the
-    # cap re-traverse the far band [cap, inf) — exact (the rounds
-    # partition the t line). 0 disables capping.
-    bounce_cap_frac: float = 0.15
 
 
 def _pytree_dataclass(meta_fields=()):
