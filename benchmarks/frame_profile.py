@@ -89,7 +89,10 @@ def capture(tris, width, height, bounces, outdir, scene_name="atrium",
 
 def parse(outdir, top):
     """Read the xplane proto and aggregate device op durations."""
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    try:
+        from tensorboard_plugin_profile.protobuf import xplane_pb2
+    except ImportError:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(os.path.join(outdir, "**", "*.xplane.pb"),
                       recursive=True)

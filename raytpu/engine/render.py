@@ -42,6 +42,7 @@ against the reference's images, quirks included):
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -51,6 +52,7 @@ import numpy as np
 from ..kernels import rng as rngk
 from ..kernels.intersect import F32_MAX, barycentrics, make_intersectors
 from ..kernels.texture import sample_bilinear
+from ..scene.pack import _sort_min_tris
 from ..types import CameraPack, RenderConfig, ScenePack
 
 PI = jnp.float32(3.1415926)  # src/shader.wgsl:3
@@ -219,29 +221,51 @@ def _ray_sort_key(pack: ScenePack, ro, rd, alive):
 
 def _sorted_query(fn, pack, ro, rd, tmin, tmax, alive, returns_hit):
     """Run an intersector on coherence-sorted rays and unsort the result.
-    lax.sort with payloads costs ~0.3ms per 262k rays — far less than the
-    traversal time it saves on incoherent bounce waves."""
+
+    Permutation plumbing (RAYTPU_SORT_MODE knob, default ``payload``):
+    full-payload lax.sort in, payload unsort out. The ``gather`` arm
+    (argsort the key alone, move columns with gathers, invert with one
+    scatter) MEASURED WORSE on the headline frame — 6.12 vs 8.67
+    Mrays/s — because TPU random row gathers are slower than riding the
+    sort network's streaming passes. Kept for A/B evidence. Results are
+    bit-identical either way: per-ray math never depends on wave order
+    (lowest-slot tie breaks), and both modes restore exact original
+    positions."""
     r = ro.shape[0]
     key = _ray_sort_key(pack, ro, rd, alive)
-    idx = jnp.arange(r, dtype=jnp.int32)
-    (_, ox, oy, oz, dx, dy, dz, tm, si) = jax.lax.sort(
-        (key, ro[:, 0], ro[:, 1], ro[:, 2],
-         rd[:, 0], rd[:, 1], rd[:, 2],
-         jnp.broadcast_to(tmax, (r,)), idx),
-        num_keys=1,
-    )
-    so = jnp.stack([ox, oy, oz], axis=-1)
-    sd = jnp.stack([dx, dy, dz], axis=-1)
+    idx = jax.lax.iota(jnp.int32, r)
+    if os.environ.get("RAYTPU_SORT_MODE", "payload") == "payload":
+        (_, ox, oy, oz, dx, dy, dz, tm, si) = jax.lax.sort(
+            (key, ro[:, 0], ro[:, 1], ro[:, 2],
+             rd[:, 0], rd[:, 1], rd[:, 2],
+             jnp.broadcast_to(tmax, (r,)), idx),
+            num_keys=1,
+        )
+        so = jnp.stack([ox, oy, oz], axis=-1)
+        sd = jnp.stack([dx, dy, dz], axis=-1)
+        out = fn(so, sd, tmin, tm)
+        if returns_hit:
+            _, t_u, tri_u = jax.lax.sort((si, out.t, out.tri), num_keys=1)
+            from ..kernels.intersect import Hit
+
+            return Hit(t=t_u, tri=tri_u, valid=tri_u >= 0)
+        _, blocked_u = jax.lax.sort(
+            (si, out.astype(jnp.int32)), num_keys=1
+        )
+        return blocked_u == 1
+    _, si = jax.lax.sort((key, idx), num_keys=1)
+    so = ro[si]
+    sd = rd[si]
+    tm = jnp.broadcast_to(tmax, (r,))[si]
     out = fn(so, sd, tmin, tm)
+    # si is a permutation of iota, so the scatter hints are honest
+    inv = jnp.zeros((r,), jnp.int32).at[si].set(idx, unique_indices=True)
     if returns_hit:
-        _, t_u, tri_u = jax.lax.sort((si, out.t, out.tri), num_keys=1)
+        tri_u = out.tri[inv]
         from ..kernels.intersect import Hit
 
-        return Hit(t=t_u, tri=tri_u, valid=tri_u >= 0)
-    _, blocked_u = jax.lax.sort(
-        (si, out.astype(jnp.int32)), num_keys=1
-    )
-    return blocked_u == 1
+        return Hit(t=out.t[inv], tri=tri_u, valid=tri_u >= 0)
+    return out[inv]
 
 
 def _mixed_bounce_query(
@@ -338,16 +362,64 @@ def _trace_paths(
         closest, any_hit,
     )
 
+    has_cmask = count_mask is not None
+
     def bounce_step(
         carry, use_sort=False, use_sort_shadow=False,
         use_mixed_query=False, defer_nee=False, use_bounce_pair=False,
+        persistent_sort=False,
     ):
-        if defer_nee:
+        pend = None
+        cmask = None
+        pxi = None
+        if persistent_sort:
+            if has_cmask:
+                ro, rd, rng, radiance, attenuation, alive, pxi, cmask = carry
+            else:
+                ro, rd, rng, radiance, attenuation, alive, pxi = carry
+        elif defer_nee:
             ro, rd, rng, radiance, attenuation, alive, pend = carry
         else:
             ro, rd, rng, radiance, attenuation, alive = carry
-            pend = None
-        if use_mixed_query:
+        if persistent_sort:
+            # ONE payload sort per bounce moves the whole path state into
+            # coherence order (RAYTPU_WAVE_MODE=resort). Queries AND
+            # shading then run in place: the shadow wave inherits the
+            # continuation wave's origin clustering (its origins ARE the
+            # sorted hit points), the shading tri_row gather becomes
+            # spatially clustered (Morton-ordered rays commit nearby
+            # triangles), and the per-query sort+unsort pairs disappear.
+            # Lane order is a pure permutation: per-lane math, RNG replay
+            # and the reference's per-lane radiance add order (emissive_b
+            # then NEE_b) are unchanged, so images stay bit-identical;
+            # original order is restored once at path exit via the carried
+            # pixel index. (The gather-based variant measured 6.1 vs 8.7
+            # Mrays/s — TPU random gathers lose to sort payload passes,
+            # so state rides the sort.)
+            key = _ray_sort_key(pack, ro, rd, alive)
+            ops = [
+                key, ro[:, 0], ro[:, 1], ro[:, 2],
+                rd[:, 0], rd[:, 1], rd[:, 2], rng,
+                radiance[:, 0], radiance[:, 1], radiance[:, 2],
+                radiance[:, 3], attenuation[:, 0], attenuation[:, 1],
+                attenuation[:, 2], attenuation[:, 3], alive, pxi,
+            ]
+            if has_cmask:
+                ops.append(cmask)
+            out = jax.lax.sort(tuple(ops), num_keys=1)
+            (_, ox, oy, oz, dx, dy, dz, rng, q0, q1, q2, q3,
+             a0, a1, a2, a3, alive, pxi) = out[:18]
+            if has_cmask:
+                cmask = out[18]
+            ro = jnp.stack([ox, oy, oz], axis=-1)
+            rd = jnp.stack([dx, dy, dz], axis=-1)
+            radiance = jnp.stack([q0, q1, q2, q3], axis=-1)
+            attenuation = jnp.stack([a0, a1, a2, a3], axis=-1)
+            tmax = jnp.where(alive, F32_MAX, NEG_INF)
+            hit = (b_closest if use_bounce_pair else closest)(
+                ro, rd, jnp.float32(0.001), tmax
+            )
+        elif use_mixed_query:
             # continuation + previous bounce's deferred shadow rays in ONE
             # sorted mixed traversal; the deferred NEE contribution lands
             # here, BEFORE this bounce's emissive term (reference order)
@@ -483,7 +555,12 @@ def _trace_paths(
                     bounce_on, False,
                 )
             else:
-                blocked = any_hit(p, ldir, jnp.float32(0.0), shadow_tmax)
+                # persistent_sort: the shadow wave runs in the bounce's
+                # sorted order directly — its origins are the (clustered)
+                # hit points, so no second sort is paid
+                blocked = (b_any if use_bounce_pair else any_hit)(
+                    p, ldir, jnp.float32(0.0), shadow_tmax
+                )
             radiance = radiance + jnp.where(
                 (bounce_on & ~blocked)[:, None], contrib, 0.0
             )
@@ -491,11 +568,23 @@ def _trace_paths(
         # continue the path (:376-377)
         ro = jnp.where(bounce_on[:, None], p, ro)
         rd = jnp.where(bounce_on[:, None], scattered, rd)
+        if persistent_sort:
+            if has_cmask:
+                return (ro, rd, rng, radiance, attenuation, bounce_on,
+                        pxi, cmask)
+            return ro, rd, rng, radiance, attenuation, bounce_on, pxi
         if defer_nee:
             return ro, rd, rng, radiance, attenuation, bounce_on, new_pend
         return ro, rd, rng, radiance, attenuation, bounce_on
 
     use_mixed = mixed_fn is not None and bounces > 0
+    # persistent sorted wave (RAYTPU_WAVE_MODE=resort): bounces 1+ carry
+    # the whole path state through one payload sort per bounce instead of
+    # sorting rays in and unsorting results out of each query
+    persistent = (
+        sort_bounced and not use_mixed
+        and os.environ.get("RAYTPU_WAVE_MODE", "query") == "resort"
+    )
     if use_mixed:
         z3 = jnp.zeros_like(ro)
         pend0 = (
@@ -505,7 +594,7 @@ def _trace_paths(
         carry = (ro, rd, rng, radiance, attenuation, alive, pend0)
     else:
         carry = (ro, rd, rng, radiance, attenuation, alive)
-    def _guarded(step, carry, n_rays):
+    def _guarded(step, carry, n_rays, cmask_in_carry=False):
         # skip entire bounces once every lane has terminated (a pending
         # shadow query from the skipped bounce resolves after the loop).
         # ``eager`` (wave capture, benchmarks/waves.py) decides on the
@@ -517,7 +606,10 @@ def _trace_paths(
         else:
             carry = jax.lax.cond(jnp.any(carry[5]), step, lambda c: c, carry)
         if n_rays is not None:
-            counted = carry[5] & count_mask
+            # persistent steps permute lanes, so the count mask rides the
+            # carry (index 7) instead of closing over the original order
+            cm = carry[7] if cmask_in_carry else count_mask
+            counted = carry[5] & cm
             n_rays = n_rays + 2 * jnp.sum(counted.astype(jnp.int32))
         return carry, n_rays
 
@@ -540,23 +632,34 @@ def _trace_paths(
         # RAYTPU_UNROLL_BOUNCES=1 keeps the python unroll (A/B knob:
         # rolling shrinks compile time/size several-fold but may cost
         # runtime by blocking cross-bounce XLA optimisation).
-        import os
 
+        if persistent:
+            carry = carry + (jax.lax.iota(jnp.int32, r),)
+            if has_cmask:
+                carry = carry + (count_mask,)
         stepb = partial(
             bounce_step,
-            use_sort=(not use_mixed) and sort_bounced,
-            use_sort_shadow=(not use_mixed) and sort_bounced,
+            use_sort=(not use_mixed) and sort_bounced and not persistent,
+            use_sort_shadow=(
+                (not use_mixed) and sort_bounced and not persistent
+            ),
             use_mixed_query=use_mixed,
             defer_nee=use_mixed,
             use_bounce_pair=True,
+            persistent_sort=persistent,
         )
+        count_in_carry = persistent and has_cmask
         if eager or os.environ.get("RAYTPU_UNROLL_BOUNCES"):
             for _ in range(1, bounces):
-                carry, n_rays = _guarded(stepb, carry, n_rays)
+                carry, n_rays = _guarded(
+                    stepb, carry, n_rays, cmask_in_carry=count_in_carry
+                )
         else:
 
             def roll(_, state):
-                return _guarded(stepb, *state)
+                return _guarded(
+                    stepb, *state, cmask_in_carry=count_in_carry
+                )
 
             carry, n_rays = jax.lax.fori_loop(
                 1, bounces, roll, (carry, n_rays)
@@ -586,6 +689,24 @@ def _trace_paths(
             radiance = jax.lax.cond(
                 jnp.any(p_on), resolve_last, lambda rad: rad, radiance
             )
+    elif persistent and bounces > 1:
+        if has_cmask:
+            _, _, rng, radiance, attenuation, _, pxi, _ = carry
+        else:
+            _, _, rng, radiance, attenuation, _, pxi = carry
+        # restore original lane order ONCE at path exit: pxi is a
+        # permutation of iota, so sorting by it is an exact inverse. The
+        # radiance attenuation product happens before the unsort so only
+        # 4 colour columns + the RNG state ride it.
+        out = radiance * attenuation
+        _, o0, o1, o2, o3, rng = jax.lax.sort(
+            (pxi, out[:, 0], out[:, 1], out[:, 2], out[:, 3], rng),
+            num_keys=1,
+        )
+        out = jnp.stack([o0, o1, o2, o3], axis=-1)
+        if n_rays is not None:
+            return out, rng, n_rays
+        return out, rng
     else:
         _, _, rng, radiance, attenuation, _ = carry
     if n_rays is not None:
@@ -773,7 +894,7 @@ def render_tile(
 
     pxf = px.astype(jnp.float32)
     pyf = py.astype(jnp.float32)
-    sort_bounced = packet_mode and pack.n_triangles > 4096
+    sort_bounced = packet_mode and pack.n_triangles > _sort_min_tris()
     use_mixed = sort_bounced and (
         prefer_mixed or config.bounce_backend == "binned"
     )
@@ -840,7 +961,7 @@ def _count_tile(pack, camera, y0, config, tile_h, valid_rows):
         py < y0 + valid_rows
     )
     pxf, pyf = px.astype(jnp.float32), py.astype(jnp.float32)
-    sort_bounced = packet_mode and pack.n_triangles > 4096
+    sort_bounced = packet_mode and pack.n_triangles > _sort_min_tris()
     use_mixed = sort_bounced and (
         prefer_mixed or config.bounce_backend == "binned"
     )

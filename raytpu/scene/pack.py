@@ -31,6 +31,15 @@ from .camera import CameraData
 from .gltf import SceneData
 
 
+def _sort_min_tris() -> int:
+    """Triangle-slot threshold above which bounce waves are coherence-
+    sorted and the strand tree is built (render.py sort_bounced). One
+    env knob so pack_scene and the engine always agree."""
+    import os
+
+    return int(os.environ.get("RAYTPU_SORT_MIN_TRIS", "4096"))
+
+
 def flatten_world_triangles(scene: SceneData):
     """Instantiate every (object, primitive, triangle) into world space.
 
@@ -244,7 +253,9 @@ def pack_scene(
     strand_rows = None
     strand_bytes = -(-bvh.n_nodes // 2) * 128 * 4
     leaf_bytes = leaf_tris.shape[0] * 128 * 4
-    if n_slots > 4096 and strand_bytes + leaf_bytes <= 100 * 1024 * 1024:
+    if n_slots > _sort_min_tris() and (
+        strand_bytes + leaf_bytes <= 100 * 1024 * 1024
+    ):
         from ..accel.strandtree import build_strand_tree
 
         strand_rows = build_strand_tree(bvh).rows
