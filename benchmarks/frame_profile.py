@@ -129,6 +129,10 @@ def parse(outdir, top):
             return "packet kernel"
         if "sort" in n:
             return "sort"
+        if "slice-start" in n or "slice-done" in n:
+            return "async slice (sort spill / prefetch)"
+        if "copy-start" in n or "copy-done" in n or n.startswith("%copy"):
+            return "async copy (memory space)"
         if "gather" in n:
             return "gather"
         if "scatter" in n:

@@ -40,6 +40,7 @@ def main():
     ap.add_argument("--rays", type=float, default=0.0,
                     help="known ray count (Mrays/s uses it if given)")
     ap.add_argument("--scene", default="atrium", choices=["atrium", "multi"])
+    ap.add_argument("--tile-rows", type=int, default=None)
     ap.add_argument("--inner", type=int, default=1,
                     help="device-side repeats per timing (small frames)")
     args = ap.parse_args()
@@ -59,7 +60,7 @@ def main():
         scene, pack = bench._cached_atrium(args.tris)
         cfg = raytpu.RenderConfig(width=args.width, height=args.height,
                                   seed=1, samples=1, bounces=args.bounces,
-                                  chunk_size=8)
+                                  chunk_size=8, tile_rows=args.tile_rows)
     cam = pack_camera(scene.camera)
     tile_h = _auto_tile_rows(cfg, pack.n_triangles)
 

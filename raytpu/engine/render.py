@@ -397,20 +397,29 @@ def _trace_paths(
             # Mrays/s — TPU random gathers lose to sort payload passes,
             # so state rides the sort.)
             key = _ray_sort_key(pack, ro, rd, alive)
-            ops = [
-                key, ro[:, 0], ro[:, 1], ro[:, 2],
-                rd[:, 0], rd[:, 1], rd[:, 2], rng,
-                radiance[:, 0], radiance[:, 1], radiance[:, 2],
-                radiance[:, 3], attenuation[:, 0], attenuation[:, 1],
-                attenuation[:, 2], attenuation[:, 3], alive, pxi,
-            ]
+            # two sorts of <= 11 operands instead of one 19-operand sort:
+            # XLA's TPU sort stays on its VMEM-resident path only up to
+            # ~10 columns at 1M rows — the single big sort spilled into
+            # serialized alternate-memory chunk copies (profiled at
+            # ~15% slower frames). (key, pxi) is a UNIQUE 2-level key
+            # (pxi is a permutation of iota), so both sorts apply the
+            # exact same permutation regardless of tie handling.
+            ops = [key, pxi, ro[:, 0], ro[:, 1], ro[:, 2],
+                   rd[:, 0], rd[:, 1], rd[:, 2], rng, alive]
             if has_cmask:
                 ops.append(cmask)
-            out = jax.lax.sort(tuple(ops), num_keys=1)
-            (_, ox, oy, oz, dx, dy, dz, rng, q0, q1, q2, q3,
-             a0, a1, a2, a3, alive, pxi) = out[:18]
+            out = jax.lax.sort(tuple(ops), num_keys=2)
+            (key_s, pxi_s, ox, oy, oz, dx, dy, dz, rng, alive) = out[:10]
             if has_cmask:
-                cmask = out[18]
+                cmask = out[10]
+            _, _, q0, q1, q2, q3, a0, a1, a2, a3 = jax.lax.sort(
+                (key, pxi, radiance[:, 0], radiance[:, 1],
+                 radiance[:, 2], radiance[:, 3], attenuation[:, 0],
+                 attenuation[:, 1], attenuation[:, 2],
+                 attenuation[:, 3]),
+                num_keys=2,
+            )
+            pxi = pxi_s
             ro = jnp.stack([ox, oy, oz], axis=-1)
             rd = jnp.stack([dx, dy, dz], axis=-1)
             radiance = jnp.stack([q0, q1, q2, q3], axis=-1)
@@ -442,7 +451,9 @@ def _trace_paths(
                     True,
                 )
             else:
-                hit = closest(ro, rd, jnp.float32(0.001), tmax)
+                hit = (b_closest if use_bounce_pair else closest)(
+                    ro, rd, jnp.float32(0.001), tmax
+                )
         active = alive & hit.valid
 
         pos, normal, uv, mat, row = _shade_inputs(pack, ro, rd, hit)
@@ -623,6 +634,10 @@ def _trace_paths(
             use_sort_shadow=(not use_mixed) and sort_bounced,
             use_mixed_query=False,
             defer_nee=use_mixed,
+            # RAYTPU_B0_STRAND=1 routes the primary + first-shadow waves
+            # to the strand kernel as well (A/B: small scenes pay the
+            # packet kernel's per-visit scalar cost on every wave)
+            use_bounce_pair=bool(os.environ.get("RAYTPU_B0_STRAND")),
         )
         carry, n_rays = _guarded(step0, carry, n_rays)
     if bounces > 1:

@@ -382,7 +382,7 @@ def strand_query(
 
 def make_strand_intersectors(pack, tmin: float = 0.001,
                              interpret: bool = False,
-                             groups: int = 16):
+                             groups: int | None = None):
     """(closest_fn, any_fn) with the engine's (ro, rd, tmin, tmax)
     signature, traversing the octant-threaded strand layout. The engine
     routes coherence-sorted BOUNCE waves here (strand beats the packet
@@ -391,8 +391,16 @@ def make_strand_intersectors(pack, tmin: float = 0.001,
 
     Like make_packet_intersectors, ``tmin`` binds at factory time
     (closest = 0.001, any-hit = 0.0 per src/shader.wgsl:174-186,312-319);
-    the per-call tmin_ argument is ignored."""
+    the per-call tmin_ argument is ignored.
+
+    ``groups`` defaults to 16 (the round-3 sweep winner on captured
+    atrium bounce waves); RAYTPU_STRAND_GROUPS overrides for sweeps."""
+    import os
+
     from .intersect import Hit
+
+    if groups is None:
+        groups = int(os.environ.get("RAYTPU_STRAND_GROUPS", "16"))
 
     tree = pack.bvh.strand_rows
     leaves = pack.bvh.leaf_tris
