@@ -279,7 +279,11 @@ def selftest() -> int:
     """
     import jax.numpy as jnp
 
-    platform = jax.devices()[0].platform.lower()
+    try:
+        platform = jax.devices()[0].platform.lower()
+    except Exception as e:  # backend init failed (tunnel down/wedged)
+        log(f"[selftest] TPU backend unavailable ({e!r}): skip")
+        return 42
     if "tpu" not in platform and "axon" not in platform:
         log("[selftest] no TPU backend (platform={}): skip".format(platform))
         return 42

@@ -63,18 +63,24 @@ def _run_tk(root, pack, camera, config) -> np.ndarray:
                        highlightthickness=0)
     canvas.pack()
     frame = np.zeros((config.height, config.width, 4), np.float32)
-    photo = None
+    # ONE persistent frame image; each present blits only the finished
+    # tile's rows into it via Tk's image `copy` subcommand — O(tile)
+    # per present instead of O(W*H) full-frame requantise + re-decode
+    # (the reference blits a GPU-resident texture, src/state.rs:199-252)
+    photo = tk.PhotoImage(width=config.width, height=config.height)
+    canvas.create_image((0, 0), image=photo, anchor="nw")
 
-    def present():
-        nonlocal photo
-        photo = tk.PhotoImage(data=_frame_to_ppm(quantize_rgba32f(frame)))
-        canvas.delete("all")
-        canvas.create_image((0, 0), image=photo, anchor="nw")
+    def present(y0, rows):
+        tile_img = tk.PhotoImage(
+            data=_frame_to_ppm(quantize_rgba32f(frame[y0 : y0 + rows]))
+        )
+        photo.tk.call(str(photo), "copy", str(tile_img),
+                      "-to", 0, int(y0))
         root.update()
 
     for y0, rows, tile in render_frame_tiles(pack, camera, config):
         frame[y0 : y0 + rows] = tile
-        present()
+        present(y0, rows)
         if state["quit"]:
             break
     # park in the event loop until Quit/Escape, like the reference

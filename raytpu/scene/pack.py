@@ -34,10 +34,13 @@ from .gltf import SceneData
 def _sort_min_tris() -> int:
     """Triangle-slot threshold above which bounce waves are coherence-
     sorted and the strand tree is built (render.py sort_bounced). One
-    env knob so pack_scene and the engine always agree."""
+    env knob so pack_scene and the engine always agree. Default 256:
+    strand bounce routing measured 28.1 -> 20.0 ms on the 780-tri
+    multi-mesh frame (docs/PROFILE_r3.md finding 3), and scenes at or
+    below 256 slots ride the brute/XLA paths anyway."""
     import os
 
-    return int(os.environ.get("RAYTPU_SORT_MIN_TRIS", "4096"))
+    return int(os.environ.get("RAYTPU_SORT_MIN_TRIS", "256"))
 
 
 def flatten_world_triangles(scene: SceneData):

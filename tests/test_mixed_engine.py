@@ -37,3 +37,23 @@ def test_strand_bounce_routing_matches_legacy():
         pack, cam, raytpu.RenderConfig(**kw, intersector="packet")
     )
     assert_images_equiv(ref, sorted_q)
+
+
+def test_small_scene_strand_routing_matches_legacy():
+    """The round-3 threshold drop (4096 -> 256 slots, PROFILE_r3.md
+    finding 3) put small BVH scenes on sorted strand bounces too; the
+    780-slot range must still match the plain XLA walk exactly."""
+    scene = build_atrium(600)
+    pack = pack_scene(scene)
+    cam = pack_camera(scene.camera)
+    assert 256 < pack.n_triangles <= 4096  # the newly-routed range
+    assert pack.bvh.strand_rows is not None
+
+    kw = dict(width=32, height=24, seed=5, samples=1, bounces=3,
+              chunk_size=8)
+    ref = render_frame(pack, cam, raytpu.RenderConfig(**kw,
+                                                      intersector="bvh"))
+    sorted_q = render_frame(
+        pack, cam, raytpu.RenderConfig(**kw, intersector="packet")
+    )
+    assert_images_equiv(ref, sorted_q)
