@@ -37,7 +37,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import jax.numpy as jnp
 
 import raytpu
-from raytpu.engine.render import _morton6, _pixel_layout, cast_rays
+from raytpu.engine.render import _morton, _pixel_layout, cast_rays
 from raytpu.kernels.intersect_pallas import packet_query
 from raytpu.scene.pack import pack_camera
 
@@ -121,7 +121,7 @@ def sort_rays(pack, ro, rd, mode):
     ext = jnp.maximum(pack.scene_bmax - pack.scene_bmin, 1e-6)
     q = jnp.clip(((ro - pack.scene_bmin) / ext * 64.0).astype(jnp.int32),
                  0, 63)
-    omorton = _morton6((q[:, 0], q[:, 1], q[:, 2]))
+    omorton = _morton((q[:, 0], q[:, 1], q[:, 2]), 6)
     octant = ((rd[:, 0] < 0).astype(jnp.int32)
               | ((rd[:, 1] < 0).astype(jnp.int32) << 1)
               | ((rd[:, 2] < 0).astype(jnp.int32) << 2))
@@ -132,7 +132,7 @@ def sort_rays(pack, ro, rd, mode):
         bits = int(mode[3:])
         n = (1 << bits)
         dq = jnp.clip(((rd * 0.5 + 0.5) * n).astype(jnp.int32), 0, n - 1)
-        dmorton = _morton6((dq[:, 0], dq[:, 1], dq[:, 2]))
+        dmorton = _morton((dq[:, 0], dq[:, 1], dq[:, 2]), 6)
         keys = (dmorton, omorton)
     elif mode == "origin_major":
         key = (omorton << 3) | octant
