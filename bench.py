@@ -281,6 +281,9 @@ def selftest() -> int:
 
     try:
         platform = jax.devices()[0].platform.lower()
+        # liveness probe: a wedged tunnel can pass devices() and then
+        # raise Unavailable/FailedPrecondition at the first computation
+        float(jnp.zeros((), jnp.float32) + 1.0)
     except Exception as e:  # backend init failed (tunnel down/wedged)
         log(f"[selftest] TPU backend unavailable ({e!r}): skip")
         return 42

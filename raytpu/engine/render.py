@@ -185,9 +185,9 @@ def _in_chunk_grid(px, py, w: int, h: int, cs: int):
     return (px // cs < w // cs) & (py < h) & (chunk < (w * h) // cs)
 
 
-def _morton6(q):
-    """Interleave three 6-bit integer coordinates into an 18-bit Morton
-    code (vectorised bit spreading)."""
+def _morton(q, bits: int):
+    """Interleave three ``bits``-wide integer coordinates into a
+    3*bits-bit Morton code (vectorised bit spreading)."""
     def spread(x):  # standard Part1By2 bit spreading (<= 10-bit inputs)
         x = (x | (x << 16)) & 0x030000FF
         x = (x | (x << 8)) & 0x0300F00F
@@ -198,6 +198,12 @@ def _morton6(q):
     return spread(q[0]) | (spread(q[1]) << 1) | (spread(q[2]) << 2)
 
 
+def _morton_bits() -> int:
+    """Origin-quantisation bits per axis for the bounce coherence key
+    (<= 9 so octant << 3*bits stays in int32). RAYTPU_MORTON_BITS."""
+    return min(int(os.environ.get("RAYTPU_MORTON_BITS", "6")), 9)
+
+
 def _ray_sort_key(pack: ScenePack, ro, rd, alive):
     """Sort key for bounce-ray coherence: dead lanes last (free live-ray
     compaction), then direction octant (major), then Morton cell of the
@@ -205,18 +211,21 @@ def _ray_sort_key(pack: ScenePack, ro, rd, alive):
     measured ~1.6x faster than origin-major on the atrium: a packet of
     same-octant rays keeps the traversal frustum narrow even when origins
     spread."""
+    bits = _morton_bits()
+    cells = float(1 << bits)
     ext = jnp.maximum(pack.scene_bmax - pack.scene_bmin, 1e-6)
     q = jnp.clip(
-        ((ro - pack.scene_bmin) / ext * 64.0).astype(jnp.int32), 0, 63
+        ((ro - pack.scene_bmin) / ext * cells).astype(jnp.int32), 0,
+        (1 << bits) - 1,
     )
-    morton = _morton6((q[:, 0], q[:, 1], q[:, 2]))
+    morton = _morton((q[:, 0], q[:, 1], q[:, 2]), bits)
     octant = (
         (rd[:, 0] < 0).astype(jnp.int32)
         | ((rd[:, 1] < 0).astype(jnp.int32) << 1)
         | ((rd[:, 2] < 0).astype(jnp.int32) << 2)
     )
-    key = (octant << 18) | morton
-    return jnp.where(alive, key, jnp.int32(1 << 24))
+    key = (octant << (3 * bits)) | morton
+    return jnp.where(alive, key, jnp.int32(1 << (3 * bits + 3)))
 
 
 def _sorted_query(fn, pack, ro, rd, tmin, tmax, alive, returns_hit):
@@ -234,7 +243,33 @@ def _sorted_query(fn, pack, ro, rd, tmin, tmax, alive, returns_hit):
     r = ro.shape[0]
     key = _ray_sort_key(pack, ro, rd, alive)
     idx = jax.lax.iota(jnp.int32, r)
-    if os.environ.get("RAYTPU_SORT_MODE", "payload") == "payload":
+    mode = os.environ.get("RAYTPU_SORT_MODE", "payload")
+    if mode == "payload_split":
+        # two <= 6-operand sorts sharing the UNIQUE (key, idx) 2-level
+        # key (identical permutations) instead of one 10-operand sort:
+        # at 1M rows the 10-operand working set (~44 MB) spills XLA's
+        # VMEM sort path (docs/PROFILE_r3.md "Sort spill, revisited")
+        _, si, ox, oy, oz = jax.lax.sort(
+            (key, idx, ro[:, 0], ro[:, 1], ro[:, 2]), num_keys=2
+        )
+        _, _, dx, dy, dz, tm = jax.lax.sort(
+            (key, idx, rd[:, 0], rd[:, 1], rd[:, 2],
+             jnp.broadcast_to(tmax, (r,))),
+            num_keys=2,
+        )
+        so = jnp.stack([ox, oy, oz], axis=-1)
+        sd = jnp.stack([dx, dy, dz], axis=-1)
+        out = fn(so, sd, tmin, tm)
+        if returns_hit:
+            _, t_u, tri_u = jax.lax.sort((si, out.t, out.tri), num_keys=1)
+            from ..kernels.intersect import Hit
+
+            return Hit(t=t_u, tri=tri_u, valid=tri_u >= 0)
+        _, blocked_u = jax.lax.sort(
+            (si, out.astype(jnp.int32)), num_keys=1
+        )
+        return blocked_u == 1
+    if mode == "payload":
         (_, ox, oy, oz, dx, dy, dz, tm, si) = jax.lax.sort(
             (key, ro[:, 0], ro[:, 1], ro[:, 2],
              rd[:, 0], rd[:, 1], rd[:, 2],
