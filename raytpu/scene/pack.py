@@ -264,9 +264,6 @@ def pack_scene(
         strand_rows = build_strand_tree(bvh).rows
 
     return ScenePack(
-        tri_p0=jnp.asarray(tri_p0),
-        tri_e1=jnp.asarray(tri_e1),
-        tri_e2=jnp.asarray(tri_e2),
         tri_row=jnp.asarray(tri_row),
         object_linear=jnp.asarray(obj_linear),
         mat_table=jnp.asarray(mat_table),

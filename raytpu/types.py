@@ -103,11 +103,10 @@ class ScenePack:
     shapes. Triangles are stored in BVH leaf order, padded with degenerate
     triangles (e1 = e2 = 0 never intersect) so kernels need no masks."""
 
-    # brute-force sweep geometry (world space, SoA)
-    tri_p0: Any  # [T,3] f32
-    tri_e1: Any  # [T,3] f32
-    tri_e2: Any  # [T,3] f32
-    # fused per-triangle shade row (see module docstring)
+    # fused per-triangle shade row (see module docstring); columns 0:9
+    # are world-space p0/e1/e2 — the brute-force sweep reads them through
+    # the tri_p0/tri_e1/tri_e2 property VIEWS below (one stored copy;
+    # XLA fuses the slices into consumers)
     tri_row: Any  # [T,64] f32
     # per-object linear transform rows (w=0 quirk needs only the 3x3 part,
     # src/shader.wgsl:345)
@@ -143,8 +142,20 @@ class ScenePack:
     tl_bmax: Any = None  # [T, 3] f32
 
     @property
+    def tri_p0(self):
+        return self.tri_row[:, 0:3]
+
+    @property
+    def tri_e1(self):
+        return self.tri_row[:, 3:6]
+
+    @property
+    def tri_e2(self):
+        return self.tri_row[:, 6:9]
+
+    @property
     def n_triangles(self) -> int:
-        return int(self.tri_p0.shape[0])
+        return int(self.tri_row.shape[0])
 
     @property
     def n_materials(self) -> int:
