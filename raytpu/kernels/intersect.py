@@ -294,6 +294,12 @@ def make_intersectors(pack, bruteforce_max_tris: int = 2048,
                 chunk=chunk,
             )
     else:
+        if pack.bvh.leaf_tris is None:
+            raise ValueError(
+                "scene was packed with tables='stream' (beyond-VMEM "
+                "binned route only); repack with tables='all' for the "
+                "threaded-BVH/brute intersectors"
+            )
         leaf_size = LEAF_SIZE
 
         def closest(ro, rd, tmin, tmax):

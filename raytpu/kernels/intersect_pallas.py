@@ -550,6 +550,8 @@ def vmem_budget_ok(pack, budget_bytes: int = 100 * 1024 * 1024) -> bool:
     """True when the BVH8 + leaf rows fit the packet kernel's VMEM budget
     (v5e has 128 MiB; leave headroom for ray blocks and spills).
     Mosaic pads the lane dimension to 128."""
+    if pack.bvh.node8_rows is None:  # stream pack (tables dropped)
+        return False
     nodes_bytes = pack.bvh.node8_rows.shape[0] * 128 * 4
     leaf_bytes = pack.bvh.leaf_tris.shape[0] * 128 * 4
     return nodes_bytes + leaf_bytes <= budget_bytes

@@ -31,6 +31,16 @@ from .camera import CameraData
 from .gltf import SceneData
 
 
+def _default_backend_is_tpu() -> bool:
+    try:
+        import jax
+
+        plat = jax.devices()[0].platform.lower()
+    except Exception:
+        return False
+    return "tpu" in plat or "axon" in plat
+
+
 def _sort_min_tris() -> int:
     """Triangle-slot threshold above which bounce waves are coherence-
     sorted and the strand tree is built (render.py sort_bounced). One
@@ -116,12 +126,16 @@ def _bitcast_i32_to_f32(x: np.ndarray) -> np.ndarray:
 
 
 def pack_scene(
-    scene: SceneData, leaf_size: int = LEAF_SIZE, treelets: str = "auto"
+    scene: SceneData, leaf_size: int = LEAF_SIZE, treelets: str = "auto",
+    tables: str = "auto",
 ) -> ScenePack:
     """Build the device ScenePack (including the software BVH).
 
     ``treelets``: "auto" builds the binned-path treelet tables for scenes
-    past the bounce-sort threshold, "always"/"never" force it."""
+    past the bounce-sort threshold, "always"/"never" force it.
+    ``tables``: "auto" drops the resident-kernel tables (BVH8 rows, leaf
+    rows, strand tree) for beyond-VMEM TPU scenes that can only ride the
+    binned path; "stream" forces the drop; "all" keeps everything."""
     p0, e1, e2, vi, mat, obj = flatten_world_triangles(scene)
 
     bvh, bvh8 = build_bvh(p0, e1, e2, leaf_size=leaf_size)
@@ -249,15 +263,32 @@ def pack_scene(
 
         tl = build_treelets(bvh8, leaf_tris)
 
+    # beyond-VMEM ("stream") scenes render through the binned treelet
+    # path only — their resident-kernel tables (BVH8 rows, packed leaf
+    # rows, strand tree) would be dead HBM weight. tables="auto" drops
+    # them when the scene is treelet-backed, exceeds the packet kernel's
+    # VMEM budget AND the default backend is a TPU (CPU keeps every
+    # path: the XLA threaded walk needs the leaf rows there);
+    # "stream" forces the drop (tests), "all" keeps everything.
+    n8_bytes = bvh8.node_rows.shape[0] * 128 * 4
+    leaf_bytes = leaf_tris.shape[0] * 128 * 4
+    stream = tables == "stream" or (
+        tables == "auto"
+        and tl is not None
+        and n8_bytes + leaf_bytes > 100 * 1024 * 1024
+        and _default_backend_is_tpu()
+    )
+
     # octant-threaded strand layout: the bounce-wave traversal kernel
     # (kernels/strand.py). Built for scenes past the bounce-sort
     # threshold whose table fits the kernel's VMEM budget alongside the
     # leaf rows (beyond-VMEM scenes use the binned path instead).
     strand_rows = None
     strand_bytes = -(-bvh.n_nodes // 2) * 128 * 4
-    leaf_bytes = leaf_tris.shape[0] * 128 * 4
-    if n_slots > _sort_min_tris() and (
-        strand_bytes + leaf_bytes <= 100 * 1024 * 1024
+    if (
+        not stream
+        and n_slots > _sort_min_tris()
+        and strand_bytes + leaf_bytes <= 100 * 1024 * 1024
     ):
         from ..accel.strandtree import build_strand_tree
 
@@ -275,8 +306,8 @@ def pack_scene(
         tex_size=jnp.asarray(sizes, jnp.int32),
         bvh=BvhPack(
             nodes=jnp.asarray(nodes),
-            node8_rows=jnp.asarray(bvh8.node_rows),
-            leaf_tris=jnp.asarray(leaf_tris),
+            node8_rows=None if stream else jnp.asarray(bvh8.node_rows),
+            leaf_tris=None if stream else jnp.asarray(leaf_tris),
             strand_rows=(
                 None if strand_rows is None else jnp.asarray(strand_rows)
             ),

@@ -132,3 +132,31 @@ def test_binned_engine_matches_threaded():
                             bounce_backend="binned"),
     )
     assert_images_equiv(ref, binned)
+
+
+def test_stream_pack_drops_resident_tables_and_renders_binned():
+    """tables='stream' packs carry ONLY the binned-path treelet tables
+    (the beyond-VMEM memory diet, VERDICT r2 item 9): resident-kernel
+    tables are dropped, and the binned intersector still matches the
+    full pack's threaded walk."""
+    import raytpu
+    from benchmarks.scenes import build_atrium
+    from raytpu.engine.render import render_frame
+    from raytpu.scene.pack import pack_camera, pack_scene
+
+    scene = build_atrium(5000)
+    full = pack_scene(scene)
+    stream = pack_scene(scene, tables="stream")
+    assert stream.bvh.node8_rows is None
+    assert stream.bvh.leaf_tris is None
+    assert stream.bvh.strand_rows is None
+    assert stream.tl_nodes is not None
+    cam = pack_camera(scene.camera)
+    kw = dict(width=32, height=24, seed=3, samples=1, bounces=2,
+              chunk_size=8)
+    ref = render_frame(full, cam,
+                       raytpu.RenderConfig(**kw, intersector="bvh"))
+    binned = render_frame(
+        stream, cam, raytpu.RenderConfig(**kw, intersector="binned")
+    )
+    assert_images_equiv(ref, binned)
