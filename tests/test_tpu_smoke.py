@@ -25,6 +25,21 @@ def test_compiled_intersectors_agree_on_tpu():
         k: v for k, v in os.environ.items()
         if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
     }
+    # cheap tunnel liveness probe first: a wedged tunnel HANGS rather
+    # than erroring, and the full selftest would burn its entire 30 min
+    # timeout before we could skip
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; jax.devices(); "
+             "print(float(jnp.zeros(()) + 1.0))"],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=120,
+        )
+        if probe.returncode != 0:
+            pytest.skip("TPU backend unavailable: "
+                        + probe.stderr.strip()[-200:])
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU backend unresponsive (tunnel hang)")
     try:
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "--selftest"],
