@@ -148,38 +148,99 @@ def build_treelets(
         else:
             out.append((int(link), lo, hi))
 
-    # emit windows
-    per_nodes, per_leaves = [], []
-    for link, _, _ in out:
+    # pack frontier pieces into window GROUPS (<= BVH8_WIDTH pieces each,
+    # combined rows within budget): the 8-wide cut produces piece sizes in
+    # (budget/8, budget], so single-piece windows padded to the global max
+    # ran ~50% empty (docs/PROFILE_r3.md). Packing preserves emission
+    # (DFS) order for spatial locality; a multi-piece window gets a
+    # synthetic BVH8 root whose children are the pieces' roots — the
+    # kernel's walk (stack starts at local node 0) is unchanged.
+    def piece_rows(link):
         if link < 0:
-            # leaf-root treelet: synthesise a root pointing at local leaf 0
-            per_nodes.append(("leafroot",))
-            per_leaves.append([~link])
-        else:
-            # BFS the subtree, assigning local ids
-            local_nodes = [link]
-            local_leaves = []
-            node_local = {int(link): 0}
-            qi = 0
-            while qi < len(local_nodes):
-                v = int(local_nodes[qi])
-                qi += 1
-                for k in range(BVH8_WIDTH):
-                    if not filled[v, k]:
-                        continue
-                    c = int(links[v, k])
-                    if c >= 0:
-                        node_local[c] = len(local_nodes)
-                        local_nodes.append(c)
-                    else:
-                        local_leaves.append(~c)
+            return 0, 1
+        return int(nrows[link]), int(lrows[link])
+
+    # per-dimension caps: Sn and Sl pad to their own maxima across ALL
+    # windows, so a node-heavy window and a leaf-heavy window would pad
+    # each other; capping both dimensions near the global node:leaf ratio
+    # keeps every window's shape close to (Sn, Sl)
+    total_n = sum(piece_rows(p[0])[0] for p in out) + len(out)
+    total_l = sum(piece_rows(p[0])[1] for p in out)
+    frac_n = total_n / max(total_n + total_l, 1)
+    n_cap = max(int(budget_rows * frac_n * 1.25), 64)
+    l_cap = max(int(budget_rows * (1.0 - frac_n) * 1.25), 64)
+
+    groups = []
+    cur, cur_n, cur_l = [], 1, 0
+    for piece in out:
+        pn, plf = piece_rows(piece[0])
+        if cur and (
+            len(cur) >= BVH8_WIDTH
+            or cur_n + pn > n_cap
+            or cur_l + plf > l_cap
+        ):
+            groups.append(cur)
+            cur, cur_n, cur_l = [], 1, 0
+        cur.append(piece)
+        cur_n += pn
+        cur_l += plf
+    if cur:
+        groups.append(cur)
+
+    def bfs_subtree(link, local_nodes, local_leaves, node_local):
+        """Append subtree ``link``'s nodes/leaves, assigning window-local
+        ids (node slot = index in local_nodes; None = synthetic root)."""
+        start = len(local_nodes)
+        node_local[int(link)] = start
+        local_nodes.append(int(link))
+        qi = start
+        while qi < len(local_nodes):
+            v = int(local_nodes[qi])
+            qi += 1
+            for k in range(BVH8_WIDTH):
+                if not filled[v, k]:
+                    continue
+                c = int(links[v, k])
+                if c >= 0:
+                    node_local[c] = len(local_nodes)
+                    local_nodes.append(c)
+                else:
+                    local_leaves.append(~c)
+        return start
+
+    per_nodes, per_leaves, per_box = [], [], []
+    for group in groups:
+        if len(group) == 1 and group[0][0] >= 0:
+            link, lo, hi = group[0]
+            local_nodes, local_leaves, node_local = [], [], {}
+            bfs_subtree(link, local_nodes, local_leaves, node_local)
             per_nodes.append(("subtree", local_nodes, node_local))
             per_leaves.append(local_leaves)
+            per_box.append((lo, hi))
+        else:
+            # synthetic root at slot 0; child k = piece k's root
+            local_nodes = [None]
+            local_leaves = []
+            node_local = {}
+            kids = []  # (lo, hi, node slot or ~local leaf row)
+            for link, lo, hi in group:
+                if link < 0:
+                    kids.append((lo, hi, ~len(local_leaves)))
+                    local_leaves.append(~link)
+                else:
+                    slot = bfs_subtree(
+                        link, local_nodes, local_leaves, node_local
+                    )
+                    kids.append((lo, hi, slot))
+            per_nodes.append(("forest", local_nodes, node_local, kids))
+            per_leaves.append(local_leaves)
+            per_box.append((
+                np.minimum.reduce([g[1] for g in group]),
+                np.maximum.reduce([g[2] for g in group]),
+            ))
 
-    T = len(out)
-    Sn = max(
-        1 if spec[0] == "leafroot" else len(spec[1]) for spec in per_nodes
-    )
+    T = len(groups)
+    Sn = max(len(spec[1]) for spec in per_nodes)
     Sl = max(len(ls) for ls in per_leaves)
     tnodes = np.zeros((T, Sn, 128), np.float32)
     # padding rows / empty slots: inverted boxes (never hit)
@@ -192,8 +253,8 @@ def build_treelets(
     n_leaf_rows = np.zeros(T, np.int32)
 
     lanes = leaf_tris.shape[1]
-    for t, ((link, lo, hi), spec, lls) in enumerate(
-        zip(out, per_nodes, per_leaves)
+    for t, ((lo, hi), spec, lls) in enumerate(
+        zip(per_box, per_nodes, per_leaves)
     ):
         tbox_min[t] = lo
         tbox_max[t] = hi
@@ -207,23 +268,27 @@ def build_treelets(
                 .astype(np.int32)
                 .view(np.float32)
             )
-        if spec[0] == "leafroot":
-            # root row: child 0 = the single leaf, box = treelet box
-            tnodes[t, 0, 0:3] = lo
-            tnodes[t, 0, 3:6] = hi
-            tnodes[t, 0, 6] = np.int32(~0).view(np.float32)
-        else:
-            _, local_nodes, node_local = spec
-            leaf_local = {g: i for i, g in enumerate(lls)}
-            for li, v in enumerate(local_nodes):
-                src = node_rows[v].copy()
-                for k in range(BVH8_WIDTH):
-                    if not filled[v, k]:
-                        continue
-                    c = int(links[v, k])
-                    loc = node_local[c] if c >= 0 else ~leaf_local[~c]
-                    src[16 * k + 6] = np.int32(loc).view(np.float32)
-                tnodes[t, li] = src
+        local_nodes = spec[1]
+        node_local = spec[2]
+        leaf_local = {g: i for i, g in enumerate(lls)}
+        if spec[0] == "forest":
+            # synthetic root row: child k = piece k (box + local link)
+            kids = spec[3]
+            for k, (klo, khi, tgt) in enumerate(kids):
+                tnodes[t, 0, 16 * k + 0 : 16 * k + 3] = klo
+                tnodes[t, 0, 16 * k + 3 : 16 * k + 6] = khi
+                tnodes[t, 0, 16 * k + 6] = np.int32(tgt).view(np.float32)
+        for li, v in enumerate(local_nodes):
+            if v is None:
+                continue  # slot 0 = the synthetic root, emitted above
+            src = node_rows[v].copy()
+            for k in range(BVH8_WIDTH):
+                if not filled[v, k]:
+                    continue
+                c = int(links[v, k])
+                loc = node_local[c] if c >= 0 else ~leaf_local[~c]
+                src[16 * k + 6] = np.int32(loc).view(np.float32)
+            tnodes[t, li] = src
 
     return TreeletArrays(
         tnodes=tnodes,
