@@ -31,3 +31,18 @@ def assert_images_equiv(a, b, max_frac_diff: float = 0.02,
     )
     s = ssim(a[..., :3], b[..., :3], data_range=1.0)
     assert s >= min_ssim, f"ssim {s:.5f} < {min_ssim}"
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def cached_atrium_pack(tris: int):
+    """(scene, pack) for the procedural atrium, shared across test
+    modules within one pytest process — the SBVH + strand-tree build is
+    ~10s per call and several engine-parity tests use the same scene."""
+    from benchmarks.scenes import build_atrium
+    from raytpu.scene.pack import pack_scene
+
+    scene = build_atrium(tris)
+    return scene, pack_scene(scene)

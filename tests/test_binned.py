@@ -20,7 +20,7 @@ from raytpu.kernels.intersect import (
     intersect_bruteforce,
 )
 
-from .imgdiff import assert_images_equiv
+from .imgdiff import assert_images_equiv, cached_atrium_pack
 from .test_intersect import _build_bvh_pack, _random_soup
 
 
@@ -118,8 +118,7 @@ def test_binned_engine_matches_threaded():
     from raytpu.engine.render import render_frame
     from raytpu.scene.pack import pack_camera, pack_scene
 
-    scene = build_atrium(5000)
-    pack = pack_scene(scene)
+    scene, pack = cached_atrium_pack(5000)
     assert pack.tl_nodes is not None  # auto treelets above 4096 tris
     cam = pack_camera(scene.camera)
     kw = dict(width=48, height=32, seed=3, samples=1, bounces=3,
@@ -144,8 +143,7 @@ def test_stream_pack_drops_resident_tables_and_renders_binned():
     from raytpu.engine.render import render_frame
     from raytpu.scene.pack import pack_camera, pack_scene
 
-    scene = build_atrium(5000)
-    full = pack_scene(scene)
+    scene, full = cached_atrium_pack(5000)
     stream = pack_scene(scene, tables="stream")
     assert stream.bvh.node8_rows is None
     assert stream.bvh.leaf_tris is None

@@ -18,12 +18,11 @@ from benchmarks.scenes import build_atrium
 from raytpu.engine.render import render_frame
 from raytpu.scene.pack import pack_camera, pack_scene
 
-from .imgdiff import assert_images_equiv
+from .imgdiff import assert_images_equiv, cached_atrium_pack
 
 
 def test_strand_bounce_routing_matches_legacy():
-    scene = build_atrium(5000)
-    pack = pack_scene(scene)
+    scene, pack = cached_atrium_pack(5000)
     cam = pack_camera(scene.camera)
     assert pack.n_triangles > 4096  # sort_bounced triggers
     assert pack.bvh.strand_rows is not None  # strand routing engages
@@ -43,8 +42,7 @@ def test_small_scene_strand_routing_matches_legacy():
     """The round-3 threshold drop (4096 -> 256 slots, PROFILE_r3.md
     finding 3) put small BVH scenes on sorted strand bounces too; the
     780-slot range must still match the plain XLA walk exactly."""
-    scene = build_atrium(600)
-    pack = pack_scene(scene)
+    scene, pack = cached_atrium_pack(600)
     cam = pack_camera(scene.camera)
     assert 256 < pack.n_triangles <= 4096  # the newly-routed range
     assert pack.bvh.strand_rows is not None
