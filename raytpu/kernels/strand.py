@@ -64,6 +64,7 @@ def _strand_kernel(
     any_hit: bool,
     with_stats: bool,
     walkers: int,
+    skip_done: bool,
 ):
     if with_stats:
         (t_ref, tri_ref, stats_ref, snode_ref, sleaf_ref, cur_ref,
@@ -111,10 +112,17 @@ def _strand_kernel(
         best_t, best_tri = args
         pend = pend_ref[...]
         for w in range(walkers):
-            lr = jnp.maximum(pend_ref[w, 0], 0)
-            sleaf_ref[w : w + 1, 0 : leaf_ref.shape[1]] = leaf_ref[
-                pl.ds(lr, 1), :
-            ]
+            if skip_done:
+                @pl.when(pend_ref[w, 0] >= 0)
+                def _(w=w):
+                    sleaf_ref[w : w + 1, 0 : leaf_ref.shape[1]] = leaf_ref[
+                        pl.ds(pend_ref[w, 0], 1), :
+                    ]
+            else:
+                lr = jnp.maximum(pend_ref[w, 0], 0)
+                sleaf_ref[w : w + 1, 0 : leaf_ref.shape[1]] = leaf_ref[
+                    pl.ds(lr, 1), :
+                ]
         L = sleaf_ref[...]
         PM = pend >= 0  # (8,1) participation
         LR = jnp.maximum(pend, 0)
@@ -169,10 +177,22 @@ def _strand_kernel(
         #    widening `walkers` (groups > 1) overlaps their latency — the
         #    fitted per-step cost is latency, not VPU throughput
         for w in range(walkers):
-            c = jnp.maximum(cur_ref[w, 0], 0)
-            row = tree_ref[pl.ds(c // 2, 1), :]
-            amt = (c % 2) * 64 + obase_ref[w]
-            snode_ref[w : w + 1, :] = pltpu.roll(row, -amt, 1)
+            if skip_done:
+                # drain-tail diet: finished walkers (cur < 0) skip the
+                # fetch+roll entirely — their stale snode row is fully
+                # masked by ACT below. The sim puts wasted tail loads at
+                # ~(max-mean)/max ~= 35% of a block's fetch work.
+                @pl.when(cur_ref[w, 0] >= 0)
+                def _(w=w):
+                    c = cur_ref[w, 0]
+                    row = tree_ref[pl.ds(c // 2, 1), :]
+                    amt = (c % 2) * 64 + obase_ref[w]
+                    snode_ref[w : w + 1, :] = pltpu.roll(row, -amt, 1)
+            else:
+                c = jnp.maximum(cur_ref[w, 0], 0)
+                row = tree_ref[pl.ds(c // 2, 1), :]
+                amt = (c % 2) * 64 + obase_ref[w]
+                snode_ref[w : w + 1, :] = pltpu.roll(row, -amt, 1)
         S = snode_ref[...]
         cur = cur_ref[...]
         ACT = cur >= 0
@@ -323,9 +343,12 @@ def strand_query(
 
     rspec = pl.BlockSpec((walkers, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
+    import os
+
     kernel = functools.partial(
         _strand_kernel, tmin=tmin, any_hit=any_hit, with_stats=with_stats,
         walkers=walkers,
+        skip_done=bool(os.environ.get("RAYTPU_STRAND_SKIP_DONE")),
     )
     out_specs = [rspec, rspec]
     out_shape = [
