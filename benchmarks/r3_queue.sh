@@ -38,6 +38,16 @@ for tr in 272 136; do
   log "hl tile$tr rc=$? $(tail -1 /tmp/r3q/hl_tile$tr.log)"
 done
 
+# 2b. strand kernel knobs: drain-tail fetch skip, walker groups
+timeout 1800 env RAYTPU_STRAND_SKIP_DONE=1 \
+  python benchmarks/headline_ab.py --rays 8910216 \
+  > /tmp/r3q/hl_skipdone.log 2>&1
+log "hl skipdone rc=$? $(tail -1 /tmp/r3q/hl_skipdone.log)"
+timeout 1800 env RAYTPU_STRAND_GROUPS=32 \
+  python benchmarks/headline_ab.py --rays 8910216 \
+  > /tmp/r3q/hl_groups32.log 2>&1
+log "hl groups32 rc=$? $(tail -1 /tmp/r3q/hl_groups32.log)"
+
 # 3. full bench (records all five configs with the new defaults)
 timeout 3600 python bench.py > /tmp/r3q/bench.json 2> /tmp/r3q/bench.log
 log "bench rc=$? $(cat /tmp/r3q/bench.json 2>/dev/null)"
