@@ -48,6 +48,12 @@ timeout 1800 env RAYTPU_STRAND_GROUPS=32 \
   > /tmp/r3q/hl_groups32.log 2>&1
 log "hl groups32 rc=$? $(tail -1 /tmp/r3q/hl_groups32.log)"
 
+# 2c. GEMM intersector vs strand on captured waves (the round-4 bet,
+# prototyped early: kernels/gemm.py)
+timeout 2400 python benchmarks/gemm_ab.py --budgets 128 256 512 \
+  --waves b2c b2s > /tmp/r3q/gemm_ab.log 2>&1
+log "gemm_ab rc=$? $(grep -c Mrays /tmp/r3q/gemm_ab.log) rows"
+
 # 3. full bench (records all five configs with the new defaults)
 timeout 3600 python bench.py > /tmp/r3q/bench.json 2> /tmp/r3q/bench.log
 log "bench rc=$? $(cat /tmp/r3q/bench.json 2>/dev/null)"
