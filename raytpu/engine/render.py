@@ -841,6 +841,25 @@ def _choose_intersectors(pack: ScenePack, config: RenderConfig):
             True,
             None,
         )
+    if which == "gemm":
+        # MXU path (kernels/gemm.py): dense Woop matmuls over small
+        # treelets; routing rides internal payload sorts, so the engine
+        # does NOT coherence-sort its waves (sort_bounced stays off via
+        # packet_mode=False). Tolerance parity, not bit parity.
+        from ..kernels.gemm import make_gemm_intersectors
+
+        if pack.gm_wo is None:
+            raise ValueError(
+                "intersector='gemm' needs pack-time Woop tables; pack "
+                "the scene with pack_scene(..., gemm='always')"
+            )
+        return (
+            make_gemm_intersectors(pack),
+            False,
+            None,
+            False,
+            None,
+        )
     if which == "packet":
         try:
             platform = jax.devices()[0].platform.lower()

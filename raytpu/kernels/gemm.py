@@ -307,3 +307,37 @@ def gemm_tables_from_pack(pack, budget_rows: int = 512) -> GemmTables:
     )
     tl = build_treelets(bvh8, leaf_tris, budget_rows=budget_rows)
     return build_gemm_tables(tl)
+
+
+def make_gemm_intersectors(pack, budget_rows: int = 256,
+                           slab_rays: int = 65536):
+    """(closest_fn, any_fn) with the engine's (ro, rd, tmin, tmax)
+    signature. Like the other factories, tmin binds here (closest 0.001,
+    any-hit 0.0 per src/shader.wgsl:174-186,312-319); the per-call tmin_
+    is ignored. Needs a full pack (tables='all'/resident: BVH8 + leaf
+    rows feed the treelet cut)."""
+    from .intersect import Hit
+
+    if pack.gm_wo is not None:
+        # pack-time tables (trace-safe: the factory runs inside jit)
+        gt = GemmTables(pack.gm_wo, pack.gm_wd, pack.gm_slot,
+                        pack.gm_bmin, pack.gm_bmax)
+    else:
+        gt = gemm_tables_from_pack(pack, budget_rows=budget_rows)
+
+    def closest(ro, rd, tmin_, tmax):
+        t, tri, _ = gemm_query(
+            gt.wo, gt.wd, gt.slot, gt.tbox_min, gt.tbox_max,
+            ro, rd, tmax, tmin=0.001, any_hit=False,
+            slab_rays=slab_rays,
+        )
+        return Hit(t=t, tri=tri, valid=tri >= 0)
+
+    def any_fn(ro, rd, tmin_, tmax):
+        _, tri, _ = gemm_query(
+            gt.wo, gt.wd, gt.slot, gt.tbox_min, gt.tbox_max,
+            ro, rd, tmax, tmin=0.0, any_hit=True, slab_rays=slab_rays,
+        )
+        return tri >= 0
+
+    return closest, any_fn

@@ -75,3 +75,30 @@ def test_gemm_any_hit_matches_brute(gemm_setup):
     ))
     blocked_g = np.asarray(tri_g) >= 0
     assert (blocked_g == blocked_b).mean() >= 0.999
+
+
+def test_gemm_engine_render_close_to_bvh():
+    """Full engine render through intersector='gemm' vs the threaded
+    walk. Ulp-level t differences can re-route individual paths, so the
+    bar is structural (SSIM) rather than pixel-exact — the driver's
+    criterion is SSIM >= 0.99 at seed tolerance."""
+    import raytpu
+    from raytpu.engine.render import render_frame
+    from raytpu.io.metrics import ssim
+    from raytpu.scene.pack import pack_camera
+
+    from benchmarks.scenes import build_atrium
+    from raytpu.scene.pack import pack_scene
+
+    scene = build_atrium(3000)
+    pack = pack_scene(scene, gemm="always")
+    cam = pack_camera(scene.camera)
+    kw = dict(width=48, height=32, seed=3, samples=1, bounces=3,
+              chunk_size=8)
+    ref = render_frame(pack, cam, raytpu.RenderConfig(**kw,
+                                                      intersector="bvh"))
+    gemm = render_frame(pack, cam, raytpu.RenderConfig(**kw,
+                                                       intersector="gemm"))
+    s = ssim(np.asarray(ref)[..., :3], np.asarray(gemm)[..., :3],
+             data_range=1.0)
+    assert s >= 0.99, s
