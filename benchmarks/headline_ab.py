@@ -41,6 +41,9 @@ def main():
                     help="known ray count (Mrays/s uses it if given)")
     ap.add_argument("--scene", default="atrium", choices=["atrium", "multi"])
     ap.add_argument("--tile-rows", type=int, default=None)
+    ap.add_argument("--intersector", default=None,
+                    help="override config.intersector; 'gemm' repacks "
+                         "the scene with Woop tables")
     ap.add_argument("--inner", type=int, default=1,
                     help="device-side repeats per timing (small frames)")
     args = ap.parse_args()
@@ -58,9 +61,19 @@ def main():
                                   bruteforce_max_tris=64)
     else:
         scene, pack = bench._cached_atrium(args.tris)
+        extra = {}
+        if args.intersector:
+            extra["intersector"] = args.intersector
+            if args.intersector == "gemm":
+                from raytpu.scene.pack import pack_scene
+
+                print("repacking with gemm tables...", file=sys.stderr,
+                      flush=True)
+                pack = pack_scene(scene, gemm="always")
         cfg = raytpu.RenderConfig(width=args.width, height=args.height,
                                   seed=1, samples=1, bounces=args.bounces,
-                                  chunk_size=8, tile_rows=args.tile_rows)
+                                  chunk_size=8, tile_rows=args.tile_rows,
+                                  **extra)
     cam = pack_camera(scene.camera)
     tile_h = _auto_tile_rows(cfg, pack.n_triangles)
 

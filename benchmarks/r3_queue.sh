@@ -54,6 +54,14 @@ timeout 2400 python benchmarks/gemm_ab.py --budgets 128 256 512 \
   --waves b2c b2s > /tmp/r3q/gemm_ab.log 2>&1
 log "gemm_ab rc=$? $(grep -c Mrays /tmp/r3q/gemm_ab.log) rows"
 
+# 2d. engine-level GEMM headline (repacks with Woop tables)
+for gb in 256 512; do
+  timeout 2400 env RAYTPU_GEMM_BUDGET=$gb \
+    python benchmarks/headline_ab.py --rays 8910216 --intersector gemm \
+    > /tmp/r3q/hl_gemm$gb.log 2>&1
+  log "hl gemm$gb rc=$? $(tail -1 /tmp/r3q/hl_gemm$gb.log)"
+done
+
 # 3. full bench (records all five configs with the new defaults)
 timeout 3600 python bench.py > /tmp/r3q/bench.json 2> /tmp/r3q/bench.log
 log "bench rc=$? $(cat /tmp/r3q/bench.json 2>/dev/null)"
