@@ -42,8 +42,7 @@ def main():
     ap.add_argument("--scene", default="atrium", choices=["atrium", "multi"])
     ap.add_argument("--tile-rows", type=int, default=None)
     ap.add_argument("--intersector", default=None,
-                    help="override config.intersector; 'gemm' repacks "
-                         "the scene with Woop tables")
+                    help="override config.intersector")
     ap.add_argument("--inner", type=int, default=1,
                     help="device-side repeats per timing (small frames)")
     args = ap.parse_args()
@@ -64,12 +63,6 @@ def main():
         extra = {}
         if args.intersector:
             extra["intersector"] = args.intersector
-            if args.intersector == "gemm":
-                from raytpu.scene.pack import pack_scene
-
-                print("repacking with gemm tables...", file=sys.stderr,
-                      flush=True)
-                pack = pack_scene(scene, gemm="always")
         cfg = raytpu.RenderConfig(width=args.width, height=args.height,
                                   seed=1, samples=1, bounces=args.bounces,
                                   chunk_size=8, tile_rows=args.tile_rows,

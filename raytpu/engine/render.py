@@ -244,6 +244,77 @@ def _sorted_query(fn, pack, ro, rd, tmin, tmax, alive, returns_hit):
     key = _ray_sort_key(pack, ro, rd, alive)
     idx = jax.lax.iota(jnp.int32, r)
     mode = os.environ.get("RAYTPU_SORT_MODE", "payload")
+    if mode == "seg":
+        # Segmented coherence sort: the full-wave 9-operand sort at ~1M
+        # rows spills XLA's VMEM sort path into serialized alternate-
+        # memory chunk slices (docs/PROFILE_r3.md "Sort spill,
+        # revisited"). Sorting SEGMENTS of the wave independently keeps
+        # each sort's working set VMEM-resident. Coherence only degrades
+        # across segment boundaries: rays arrive in pixel order, so a
+        # 128k-ray segment is a ~68-row band of the image — bounce
+        # origins inside it are already spatially local, and the key
+        # still orders each band octant-major/Morton-minor. Results stay
+        # bit-identical (per-ray math is order-independent; unsort
+        # restores exact positions).
+        L = int(os.environ.get("RAYTPU_SORT_SEG", "131072"))
+        n_seg = max(1, -(-r // L))
+        r_pad = n_seg * L
+        DEAD = jnp.int32(1 << (3 * _morton_bits() + 3))
+
+        def seg(a, fill):
+            if r_pad != r:
+                a = jnp.concatenate(
+                    [a, jnp.full((r_pad - r,), fill, a.dtype)]
+                )
+            return a.reshape(n_seg, L)
+
+        key2 = seg(key, 1 << (3 * _morton_bits() + 3))
+        idx2 = jax.lax.iota(jnp.int32, r_pad).reshape(n_seg, L)
+        tmax_r = jnp.broadcast_to(tmax, (r,))
+        if returns_hit:
+            # closest queries carry only the alive/dead bit in tmax
+            # (F32_MAX / -inf) — derive it from the sorted key instead of
+            # paying a payload column
+            (key_s, ox, oy, oz, dx, dy, dz, si) = jax.lax.sort(
+                (key2, seg(ro[:, 0], 0.0), seg(ro[:, 1], 0.0),
+                 seg(ro[:, 2], 0.0), seg(rd[:, 0], 1.0),
+                 seg(rd[:, 1], 1.0), seg(rd[:, 2], 1.0), idx2),
+                num_keys=1, dimension=-1,
+            )
+            tm = jnp.where(key_s == DEAD, -jnp.inf, F32_MAX).reshape(r_pad)
+        else:
+            (key_s, ox, oy, oz, dx, dy, dz, tm, si) = jax.lax.sort(
+                (key2, seg(ro[:, 0], 0.0), seg(ro[:, 1], 0.0),
+                 seg(ro[:, 2], 0.0), seg(rd[:, 0], 1.0),
+                 seg(rd[:, 1], 1.0), seg(rd[:, 2], 1.0),
+                 seg(tmax_r, -jnp.inf), idx2),
+                num_keys=1, dimension=-1,
+            )
+            tm = tm.reshape(r_pad)
+        so = jnp.stack(
+            [ox.reshape(r_pad), oy.reshape(r_pad), oz.reshape(r_pad)],
+            axis=-1,
+        )
+        sd = jnp.stack(
+            [dx.reshape(r_pad), dy.reshape(r_pad), dz.reshape(r_pad)],
+            axis=-1,
+        )
+        out = fn(so, sd, tmin, tm)
+        if returns_hit:
+            _, t_u, tri_u = jax.lax.sort(
+                (si, out.t.reshape(n_seg, L), out.tri.reshape(n_seg, L)),
+                num_keys=1, dimension=-1,
+            )
+            from ..kernels.intersect import Hit
+
+            t_u = t_u.reshape(r_pad)[:r]
+            tri_u = tri_u.reshape(r_pad)[:r]
+            return Hit(t=t_u, tri=tri_u, valid=tri_u >= 0)
+        _, blocked_u = jax.lax.sort(
+            (si, out.astype(jnp.int32).reshape(n_seg, L)),
+            num_keys=1, dimension=-1,
+        )
+        return blocked_u.reshape(r_pad)[:r] == 1
     if mode == "payload_split":
         # two <= 6-operand sorts sharing the UNIQUE (key, idx) 2-level
         # key (identical permutations) instead of one 10-operand sort:
@@ -839,25 +910,6 @@ def _choose_intersectors(pack: ScenePack, config: RenderConfig):
             True,
             make_binned_query(pack, interpret=interpret),
             True,
-            None,
-        )
-    if which == "gemm":
-        # MXU path (kernels/gemm.py): dense Woop matmuls over small
-        # treelets; routing rides internal payload sorts, so the engine
-        # does NOT coherence-sort its waves (sort_bounced stays off via
-        # packet_mode=False). Tolerance parity, not bit parity.
-        from ..kernels.gemm import make_gemm_intersectors
-
-        if pack.gm_wo is None:
-            raise ValueError(
-                "intersector='gemm' needs pack-time Woop tables; pack "
-                "the scene with pack_scene(..., gemm='always')"
-            )
-        return (
-            make_gemm_intersectors(pack),
-            False,
-            None,
-            False,
             None,
         )
     if which == "packet":

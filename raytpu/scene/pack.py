@@ -127,7 +127,7 @@ def _bitcast_i32_to_f32(x: np.ndarray) -> np.ndarray:
 
 def pack_scene(
     scene: SceneData, leaf_size: int = LEAF_SIZE, treelets: str = "auto",
-    tables: str = "auto", gemm: str = "never",
+    tables: str = "auto",
 ) -> ScenePack:
     """Build the device ScenePack (including the software BVH).
 
@@ -135,9 +135,7 @@ def pack_scene(
     past the bounce-sort threshold, "always"/"never" force it.
     ``tables``: "auto" drops the resident-kernel tables (BVH8 rows, leaf
     rows, strand tree) for beyond-VMEM TPU scenes that can only ride the
-    binned path; "stream" forces the drop; "all" keeps everything.
-    ``gemm``: "always" additionally builds the Woop GEMM tables for
-    intersector='gemm' (kernels/gemm.py) at RAYTPU_GEMM_BUDGET rows."""
+    binned path; "stream" forces the drop; "all" keeps everything."""
     p0, e1, e2, vi, mat, obj = flatten_world_triangles(scene)
 
     bvh, bvh8 = build_bvh(p0, e1, e2, leaf_size=leaf_size)
@@ -296,18 +294,6 @@ def pack_scene(
 
         strand_rows = build_strand_tree(bvh).rows
 
-    gm = None
-    if gemm == "always":
-        import os
-
-        from ..accel.treelets import build_treelets as _bt
-        from ..kernels.gemm import build_gemm_tables
-
-        gm = build_gemm_tables(_bt(
-            bvh8, leaf_tris,
-            budget_rows=int(os.environ.get("RAYTPU_GEMM_BUDGET", "256")),
-        ))
-
     return ScenePack(
         tri_row=jnp.asarray(tri_row),
         object_linear=jnp.asarray(obj_linear),
@@ -334,11 +320,6 @@ def pack_scene(
         tl_leaves=None if tl is None else jnp.asarray(tl.tleaves),
         tl_bmin=None if tl is None else jnp.asarray(tl.tbox_min),
         tl_bmax=None if tl is None else jnp.asarray(tl.tbox_max),
-        gm_wo=None if gm is None else gm.wo,
-        gm_wd=None if gm is None else gm.wd,
-        gm_slot=None if gm is None else gm.slot,
-        gm_bmin=None if gm is None else gm.tbox_min,
-        gm_bmax=None if gm is None else gm.tbox_max,
     )
 
 

@@ -140,13 +140,6 @@ class ScenePack:
     tl_leaves: Any = None  # [T, Sl, 128] f32 (col 10k+9 = bitcast slot)
     tl_bmin: Any = None  # [T, 3] f32
     tl_bmax: Any = None  # [T, 3] f32
-    # Woop GEMM tables for the MXU intersector (kernels/gemm.py); built
-    # on request (pack_scene(gemm=...)). Small-budget treelet cut.
-    gm_wo: Any = None  # [T, 4, 3K] f32
-    gm_wd: Any = None  # [T, 3, 3K] f32
-    gm_slot: Any = None  # [T, K] i32
-    gm_bmin: Any = None  # [T, 3] f32
-    gm_bmax: Any = None  # [T, 3] f32
 
     @property
     def tri_p0(self):

@@ -38,6 +38,27 @@ def test_strand_bounce_routing_matches_legacy():
     assert_images_equiv(ref, sorted_q)
 
 
+def test_segmented_sort_matches_legacy(monkeypatch):
+    """RAYTPU_SORT_MODE=seg sorts the wave in independent segments so
+    each sort's working set stays on XLA's VMEM sort path (the full-wave
+    sort spills past ~10 operands x 1M rows, docs/PROFILE_r3.md). A tiny
+    segment length forces multiple segments AND tail padding; the frame
+    must still match the plain XLA walk bit-for-bit (per-ray math never
+    depends on wave order; unsort restores exact positions)."""
+    monkeypatch.setenv("RAYTPU_SORT_MODE", "seg")
+    monkeypatch.setenv("RAYTPU_SORT_SEG", "512")
+    scene, pack = cached_atrium_pack(5000)
+    cam = pack_camera(scene.camera)
+    kw = dict(width=48, height=32, seed=3, samples=1, bounces=3,
+              chunk_size=8)
+    ref = render_frame(pack, cam, raytpu.RenderConfig(**kw,
+                                                      intersector="bvh"))
+    sorted_q = render_frame(
+        pack, cam, raytpu.RenderConfig(**kw, intersector="packet")
+    )
+    assert_images_equiv(ref, sorted_q)
+
+
 def test_small_scene_strand_routing_matches_legacy():
     """The round-3 threshold drop (4096 -> 256 slots, PROFILE_r3.md
     finding 3) put small BVH scenes on sorted strand bounces too; the
