@@ -181,6 +181,10 @@ def main():
     ap.add_argument("--collapse", type=int, default=0,
                     help="walk a 2^N-ary collapsed threading instead of "
                          "the built strand tree (1 = binary sanity)")
+    ap.add_argument("--seg", type=int, default=0,
+                    help="sort in independent segments of this many rays "
+                         "(models RAYTPU_SORT_MODE=seg coherence loss; "
+                         "0 = one full-wave sort)")
     args = ap.parse_args()
 
     import jax
@@ -205,9 +209,21 @@ def main():
         any_hit = w["kind"] == "shadow"
         for bits in args.morton_bits:
             os.environ["RAYTPU_MORTON_BITS"] = str(bits)
-            ro, rd, tmax = (np.asarray(a) for a in engine_sort(
-                pack, w["ro"], w["rd"], w["tmax"]
-            ))
+            if args.seg:
+                parts = []
+                n = len(w["ro"])
+                for s0 in range(0, n, args.seg):
+                    sl = slice(s0, min(s0 + args.seg, n))
+                    parts.append(tuple(np.asarray(a) for a in engine_sort(
+                        pack, w["ro"][sl], w["rd"][sl], w["tmax"][sl]
+                    )))
+                ro = np.concatenate([p[0] for p in parts])
+                rd = np.concatenate([p[1] for p in parts])
+                tmax = np.concatenate([p[2] for p in parts])
+            else:
+                ro, rd, tmax = (np.asarray(a) for a in engine_sort(
+                    pack, w["ro"], w["rd"], w["tmax"]
+                ))
             for S in args.strand:
                 n_str = len(ro) // S
                 if args.max_rays:

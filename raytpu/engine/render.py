@@ -239,7 +239,11 @@ def _sorted_query(fn, pack, ro, rd, tmin, tmax, alive, returns_hit):
     sort network's streaming passes. Kept for A/B evidence. Results are
     bit-identical either way: per-ray math never depends on wave order
     (lowest-slot tie breaks), and both modes restore exact original
-    positions."""
+    positions.
+
+    Closest-hit returns carry ``t = 0``: the engine shades from ``tri``
+    alone (_shade_inputs recomputes barycentrics bit-identically), so
+    unsorting the distance column would be a wasted sort operand."""
     r = ro.shape[0]
     key = _ray_sort_key(pack, ro, rd, alive)
     idx = jax.lax.iota(jnp.int32, r)
@@ -301,15 +305,15 @@ def _sorted_query(fn, pack, ro, rd, tmin, tmax, alive, returns_hit):
         )
         out = fn(so, sd, tmin, tm)
         if returns_hit:
-            _, t_u, tri_u = jax.lax.sort(
-                (si, out.t.reshape(n_seg, L), out.tri.reshape(n_seg, L)),
+            _, tri_u = jax.lax.sort(
+                (si, out.tri.reshape(n_seg, L)),
                 num_keys=1, dimension=-1,
             )
             from ..kernels.intersect import Hit
 
-            t_u = t_u.reshape(r_pad)[:r]
             tri_u = tri_u.reshape(r_pad)[:r]
-            return Hit(t=t_u, tri=tri_u, valid=tri_u >= 0)
+            return Hit(t=jnp.zeros_like(tri_u, jnp.float32), tri=tri_u,
+                       valid=tri_u >= 0)
         _, blocked_u = jax.lax.sort(
             (si, out.astype(jnp.int32).reshape(n_seg, L)),
             num_keys=1, dimension=-1,
@@ -332,10 +336,11 @@ def _sorted_query(fn, pack, ro, rd, tmin, tmax, alive, returns_hit):
         sd = jnp.stack([dx, dy, dz], axis=-1)
         out = fn(so, sd, tmin, tm)
         if returns_hit:
-            _, t_u, tri_u = jax.lax.sort((si, out.t, out.tri), num_keys=1)
+            _, tri_u = jax.lax.sort((si, out.tri), num_keys=1)
             from ..kernels.intersect import Hit
 
-            return Hit(t=t_u, tri=tri_u, valid=tri_u >= 0)
+            return Hit(t=jnp.zeros_like(tri_u, jnp.float32), tri=tri_u,
+                       valid=tri_u >= 0)
         _, blocked_u = jax.lax.sort(
             (si, out.astype(jnp.int32)), num_keys=1
         )
@@ -351,10 +356,11 @@ def _sorted_query(fn, pack, ro, rd, tmin, tmax, alive, returns_hit):
         sd = jnp.stack([dx, dy, dz], axis=-1)
         out = fn(so, sd, tmin, tm)
         if returns_hit:
-            _, t_u, tri_u = jax.lax.sort((si, out.t, out.tri), num_keys=1)
+            _, tri_u = jax.lax.sort((si, out.tri), num_keys=1)
             from ..kernels.intersect import Hit
 
-            return Hit(t=t_u, tri=tri_u, valid=tri_u >= 0)
+            return Hit(t=jnp.zeros_like(tri_u, jnp.float32), tri=tri_u,
+                       valid=tri_u >= 0)
         _, blocked_u = jax.lax.sort(
             (si, out.astype(jnp.int32)), num_keys=1
         )
@@ -370,7 +376,8 @@ def _sorted_query(fn, pack, ro, rd, tmin, tmax, alive, returns_hit):
         tri_u = out.tri[inv]
         from ..kernels.intersect import Hit
 
-        return Hit(t=out.t[inv], tri=tri_u, valid=tri_u >= 0)
+        return Hit(t=jnp.zeros_like(tri_u, jnp.float32), tri=tri_u,
+                   valid=tri_u >= 0)
     return out[inv]
 
 
@@ -411,8 +418,11 @@ def _mixed_bounce_query(
     so = jnp.stack([ox, oy, oz], axis=-1)
     sd = jnp.stack([dx, dy, dz], axis=-1)
     t, tri = mixed_fn(so, sd, tm, sm, tmin=0.001, shadow_tmin=0.0)
-    _, t_u, tri_u = jax.lax.sort((si, t, tri), num_keys=1)
-    hit = Hit(t=t_u[:r], tri=tri_u[:r], valid=tri_u[:r] >= 0)
+    # t is not unsorted: the engine shades from tri alone (barycentric
+    # recompute), so the distance column would be a wasted sort operand
+    _, tri_u = jax.lax.sort((si, tri), num_keys=1)
+    hit = Hit(t=jnp.zeros_like(tri_u[:r], jnp.float32), tri=tri_u[:r],
+              valid=tri_u[:r] >= 0)
     blocked = tri_u[r:] >= 0
     return hit, blocked
 
@@ -737,7 +747,12 @@ def _trace_paths(
         step0 = partial(
             bounce_step,
             use_sort=False,
-            use_sort_shadow=(not use_mixed) and sort_bounced,
+            # RAYTPU_B0S_NOSORT=1 skips the first shadow wave's coherence
+            # sort: its origins are primary hits in PIXEL order (already
+            # spatially local) and its directions point at the sampled
+            # light, so the sort may not pay for itself (A/B knob)
+            use_sort_shadow=(not use_mixed) and sort_bounced
+            and not os.environ.get("RAYTPU_B0S_NOSORT"),
             use_mixed_query=False,
             defer_nee=use_mixed,
             # RAYTPU_B0_STRAND=1 routes the primary + first-shadow waves

@@ -65,6 +65,7 @@ def _strand_kernel(
     with_stats: bool,
     walkers: int,
     skip_done: bool,
+    multiroll: bool,
 ):
     if with_stats:
         (t_ref, tri_ref, stats_ref, snode_ref, sleaf_ref, cur_ref,
@@ -94,13 +95,21 @@ def _strand_kernel(
 
     # per-walker octant (strand rays share one; lane 0 is representative
     # because the engine sorts waves direction-octant-major)
-    for w in range(walkers):
-        o = (
-            (rdx_ref[w, 0] < 0.0).astype(jnp.int32)
-            + 2 * (rdy_ref[w, 0] < 0.0).astype(jnp.int32)
-            + 4 * (rdz_ref[w, 0] < 0.0).astype(jnp.int32)
-        )
-        obase_ref[w] = o * 8
+    if multiroll:
+        # vector copy for the batched per-row roll: (walkers, 1) i32
+        OB = (
+            (RDX[:, 0:1] < 0.0).astype(jnp.int32)
+            + 2 * (RDY[:, 0:1] < 0.0).astype(jnp.int32)
+            + 4 * (RDZ[:, 0:1] < 0.0).astype(jnp.int32)
+        ) * 8
+    else:
+        for w in range(walkers):
+            o = (
+                (rdx_ref[w, 0] < 0.0).astype(jnp.int32)
+                + 2 * (rdy_ref[w, 0] < 0.0).astype(jnp.int32)
+                + 4 * (rdz_ref[w, 0] < 0.0).astype(jnp.int32)
+            )
+            obase_ref[w] = o * 8
     cur_ref[...] = jnp.zeros((walkers, 1), jnp.int32)
     qn_ref[...] = jnp.zeros((walkers, 1), jnp.int32)
     LANE = lax.broadcasted_iota(jnp.int32, (walkers, 128), 1)
@@ -176,25 +185,46 @@ def _strand_kernel(
         #    The walkers' load->roll chains are mutually independent, so
         #    widening `walkers` (groups > 1) overlaps their latency — the
         #    fitted per-step cost is latency, not VPU throughput
-        for w in range(walkers):
-            if skip_done:
-                # drain-tail diet: finished walkers (cur < 0) skip the
-                # fetch+roll entirely — their stale snode row is fully
-                # masked by ACT below. The sim puts wasted tail loads at
-                # ~(max-mean)/max ~= 35% of a block's fetch work.
-                @pl.when(cur_ref[w, 0] >= 0)
-                def _(w=w):
-                    c = cur_ref[w, 0]
+        if multiroll:
+            # batched roll: per-walker amounts are (c%2)*64 + octant*8 —
+            # all multiples of 8 — so FOUR masked static rolls (8/16/32/
+            # 64) rotate every walker's row at once, replacing `walkers`
+            # serialized dynamic pltpu.roll ops with 8 full-tile vector
+            # ops; the scalar loop keeps only the dynamic row load
+            for w in range(walkers):
+                c = jnp.maximum(cur_ref[w, 0], 0)
+                snode_ref[w : w + 1, :] = tree_ref[pl.ds(c // 2, 1), :]
+            cur = cur_ref[...]
+            S = snode_ref[...]
+            AMT = (jnp.maximum(cur, 0) & 1) * 64 + OB
+            for b in (3, 4, 5, 6):
+                # static left-rotate by 2^b == right-rotate by 128 - 2^b
+                S = jnp.where(
+                    (AMT & (1 << b)) != 0,
+                    pltpu.roll(S, 128 - (1 << b), 1), S,
+                )
+        else:
+            for w in range(walkers):
+                if skip_done:
+                    # drain-tail diet: finished walkers (cur < 0) skip
+                    # the fetch+roll entirely — their stale snode row is
+                    # fully masked by ACT below. The sim puts wasted tail
+                    # loads at ~(max-mean)/max ~= 35% of a block's fetch
+                    # work. (MEASURED 4x WORSE: per-walker pl.when
+                    # serializes Mosaic's load pipeline, PROFILE_r3.)
+                    @pl.when(cur_ref[w, 0] >= 0)
+                    def _(w=w):
+                        c = cur_ref[w, 0]
+                        row = tree_ref[pl.ds(c // 2, 1), :]
+                        amt = (c % 2) * 64 + obase_ref[w]
+                        snode_ref[w : w + 1, :] = pltpu.roll(row, -amt, 1)
+                else:
+                    c = jnp.maximum(cur_ref[w, 0], 0)
                     row = tree_ref[pl.ds(c // 2, 1), :]
                     amt = (c % 2) * 64 + obase_ref[w]
                     snode_ref[w : w + 1, :] = pltpu.roll(row, -amt, 1)
-            else:
-                c = jnp.maximum(cur_ref[w, 0], 0)
-                row = tree_ref[pl.ds(c // 2, 1), :]
-                amt = (c % 2) * 64 + obase_ref[w]
-                snode_ref[w : w + 1, :] = pltpu.roll(row, -amt, 1)
-        S = snode_ref[...]
-        cur = cur_ref[...]
+            S = snode_ref[...]
+            cur = cur_ref[...]
         ACT = cur >= 0
         HITL = S[:, 6:7].astype(jnp.int32)  # value-cast links
         MISSL = S[:, 7:8].astype(jnp.int32)
@@ -349,6 +379,7 @@ def strand_query(
         _strand_kernel, tmin=tmin, any_hit=any_hit, with_stats=with_stats,
         walkers=walkers,
         skip_done=bool(os.environ.get("RAYTPU_STRAND_SKIP_DONE")),
+        multiroll=os.environ.get("RAYTPU_STRAND_MULTIROLL", "1") != "0",
     )
     out_specs = [rspec, rspec]
     out_shape = [
