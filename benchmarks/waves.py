@@ -347,6 +347,39 @@ def _ab_main(args):
             print(f"| {name} | strand-g{g} | {r/dt_g/1e6:8.1f} | "
                   f"{dt_g*1000:7.2f} | | | |", flush=True)
         dt_s = timed_strand(args.groups[-1])
+
+        for W, K in args.persistent:
+            from raytpu.kernels.strand_persistent import (
+                strand_query_persistent,
+            )
+
+            @jax.jit
+            def run_p():
+                t, tri = strand_query_persistent(
+                    stree, leaves, ro[:, 0], ro[:, 1], ro[:, 2],
+                    rd[:, 0], rd[:, 1], rd[:, 2], tmax,
+                    tmin=w["tmin"], any_hit=any_hit, walkers=W,
+                    service_k=K,
+                )
+                return jnp.sum(jnp.abs(t) * 0.0) + jnp.sum(tri)
+
+            dt_pp = _time_fn(run_p)
+            # agreement vs the block-scheduled strand kernel (bit bar)
+            _, tri_s0 = strand_query(
+                stree, leaves, ro[:, 0], ro[:, 1], ro[:, 2],
+                rd[:, 0], rd[:, 1], rd[:, 2], tmax,
+                tmin=w["tmin"], any_hit=any_hit,
+            )
+            _, tri_pp = strand_query_persistent(
+                stree, leaves, ro[:, 0], ro[:, 1], ro[:, 2],
+                rd[:, 0], rd[:, 1], rd[:, 2], tmax,
+                tmin=w["tmin"], any_hit=any_hit, walkers=W, service_k=K,
+            )
+            ag = bool(
+                (np.asarray(tri_pp) == np.asarray(tri_s0)).all()
+            )
+            print(f"| {name} | persist-w{W}k{K} | {r/dt_pp/1e6:8.1f} | "
+                  f"{dt_pp*1000:7.2f} | {ag} | | |", flush=True)
         # agreement: full tri arrays (any-hit compares blocked sets)
         _, tri_p = packet_query(
             node8, leaves, ro[:, 0], ro[:, 1], ro[:, 2],
@@ -392,6 +425,9 @@ def main():
     ab = sub.add_parser("ab")
     ab.add_argument("--tris", type=int, default=250_000)
     ab.add_argument("--groups", type=int, nargs="*", default=[4])
+    ab.add_argument("--persistent", type=lambda s: tuple(
+        int(x) for x in s.split(",")), nargs="*", default=[],
+        metavar="W,K", help="persistent-kernel arms (walkers,service_k)")
     ab.add_argument("--waves", nargs="*",
                     default=["b0c", "b1c", "b2c", "b3c", "b0s", "b2s"])
     args = ap.parse_args()

@@ -458,29 +458,44 @@ def make_strand_intersectors(pack, tmin: float = 0.001,
 
     tree = pack.bvh.strand_rows
     leaves = pack.bvh.leaf_tris
+    # RAYTPU_STRAND_PERSISTENT=1 swaps in the persistent-refill kernel
+    # (kernels/strand_persistent.py): same math bit-for-bit, walkers
+    # refill from an on-device strand queue instead of paying each
+    # block's slowest strand (the 2.7-4.3x drain tail, PROFILE_r3)
+    persistent = os.environ.get("RAYTPU_STRAND_PERSISTENT")
+
+    def query(ro, rd, tmax_r, tmin_q, any_q):
+        if persistent:
+            from .strand_persistent import strand_query_persistent
+
+            return strand_query_persistent(
+                tree, leaves,
+                ro[:, 0], ro[:, 1], ro[:, 2],
+                rd[:, 0], rd[:, 1], rd[:, 2],
+                tmax_r, tmin=tmin_q, any_hit=any_q, interpret=interpret,
+                walkers=int(os.environ.get("RAYTPU_STRAND_WALKERS",
+                                           "128")),
+                service_k=int(os.environ.get("RAYTPU_STRAND_SERVICE_K",
+                                             "16")),
+            )
+        return strand_query(
+            tree, leaves,
+            ro[:, 0], ro[:, 1], ro[:, 2],
+            rd[:, 0], rd[:, 1], rd[:, 2],
+            tmax_r, tmin=tmin_q, any_hit=any_q, interpret=interpret,
+            groups=groups,
+        )
 
     def closest(ro, rd, tmin_, tmax):  # tmin_ ignored; see docstring
         r = ro.shape[0]
         tmax_r = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
-        t, tri = strand_query(
-            tree, leaves,
-            ro[:, 0], ro[:, 1], ro[:, 2],
-            rd[:, 0], rd[:, 1], rd[:, 2],
-            tmax_r, tmin=tmin, any_hit=False, interpret=interpret,
-            groups=groups,
-        )
+        t, tri = query(ro, rd, tmax_r, tmin, False)
         return Hit(t=t, tri=tri, valid=tri >= 0)
 
     def any_fn(ro, rd, tmin_, tmax):
         r = ro.shape[0]
         tmax_r = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
-        _, tri = strand_query(
-            tree, leaves,
-            ro[:, 0], ro[:, 1], ro[:, 2],
-            rd[:, 0], rd[:, 1], rd[:, 2],
-            tmax_r, tmin=0.0, any_hit=True, interpret=interpret,
-            groups=groups,
-        )
+        _, tri = query(ro, rd, tmax_r, 0.0, True)
         return tri >= 0
 
     return closest, any_fn

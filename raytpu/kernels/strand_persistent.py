@@ -1,0 +1,503 @@
+"""Persistent strand traversal: walkers refill from an on-device queue.
+
+The block-scheduled strand kernel (kernels/strand.py) pays every block
+iteration for ALL of its walkers until the block's SLOWEST strand
+finishes. Strand step counts are heavily skewed (captured atrium bounce
+waves: p50 = 61 steps, p99 = 1340, benchmarks/strand_sim.py), so at the
+production group size the blocks pay 2.7-4.3x more walker-iterations
+than the strands actually use (the ``tail@g16`` sim column).
+
+This kernel removes the tail with the classic persistent-worker scheme,
+which is exactly the traversal *scheduler* half of the GPU hardware
+ray-query this engine replaces (/root/reference/src/shader.wgsl:312-319
+gets it for free from the SIMT dispatcher; src/state.rs:129-133):
+
+* ONE kernel invocation holds W walkers resident; ray strands live in
+  HBM (``memory_space=ANY``) instead of being block-sliced into VMEM;
+* a walker whose strand completes (walk terminated AND its deferred
+  leaf queue drained) stages its results, DMAs them to the output rows,
+  pulls the next strand id from an SMEM counter, and DMAs that strand's
+  rays in — walkers never idle while strands remain;
+* refills are BATCHED (``service_k`` at a time, or whenever no walker
+  is mid-walk) so the per-walker predicated scalar blocks amortize over
+  hundreds of walk steps — the every-step ``pl.when`` that made the
+  round-3 ``skip_done`` knob 4x slower (docs/PROFILE_r3.md) never runs
+  on the step path;
+* out-DMAs complete lazily: each walker waits for its previous result
+  copy only when it next refills (staging rows make the overwrite safe).
+
+Per-ray math is IDENTICAL to kernels/strand.py (same octant-threaded
+tree, same slab/Moller-Trumbore op order, same closed/open range
+contract, same lowest-slot tie break), so results stay bit-identical to
+all other intersector paths.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..accel.bvh import LEAF_SIZE
+
+F32_MAX = 3.40282347e38
+TINY = 1e-36
+QCAP = 120  # leaf-queue overflow guard (grows <= 1 per step)
+
+
+def _persistent_kernel(
+    tree_ref,  # [Rt, 128] VMEM — octant-threaded node rows
+    leaf_ref,  # [Nl, 80] VMEM — shared leaf triangle rows
+    rays_ref,  # [S*8, 128] ANY — strand s rows 8s..8s+7 = rox roy roz
+    #            rdx rdy rdz tmax pad
+    t_ref,  # [S, 128] f32 ANY out
+    tri_ref,  # [S, 128] i32 ANY out
+    # scratch
+    rox_s, roy_s, roz_s, rdx_s, rdy_s, rdz_s, tmax_s,  # (W,128) f32
+    idx_s, idy_s, idz_s,  # (W,128) f32 — safe inverse directions
+    bt_s, btr_s,  # (W,128) f32/i32 — best t / best tri
+    stt_s, sti_s,  # (W,128) f32/i32 — out staging
+    stin_s,  # (W*8, 128) f32 — in staging
+    snode_s,  # (W,128) f32
+    sleaf_s,  # (W,128) f32
+    queue_s,  # (W,128) i32
+    qn_s, cur_s, pend_s, act_s,  # (W,1) i32
+    sid_smem,  # SMEM (W,) i32 — current strand id per walker
+    flags_smem,  # SMEM (W,) i32 — bit0 have_out, bit1 refilled
+    ctr_smem,  # SMEM (2,) i32 — [next strand, walkers parked]
+    sem_in,  # DMA (W,)
+    sem_out,  # DMA (W, 2)
+    *,
+    n_strands: int,
+    tmin: float,
+    any_hit: bool,
+    walkers: int,
+    service_k: int,
+    max_iters: int,
+):
+    W = walkers
+
+    def install(w):
+        """Move staged strand rows into walker w's slots + init state."""
+        b = 8 * w
+        rox_s[w : w + 1, :] = stin_s[b + 0 : b + 1, :]
+        roy_s[w : w + 1, :] = stin_s[b + 1 : b + 2, :]
+        roz_s[w : w + 1, :] = stin_s[b + 2 : b + 3, :]
+        rdx_s[w : w + 1, :] = stin_s[b + 3 : b + 4, :]
+        rdy_s[w : w + 1, :] = stin_s[b + 4 : b + 5, :]
+        rdz_s[w : w + 1, :] = stin_s[b + 5 : b + 6, :]
+        tmax_s[w : w + 1, :] = stin_s[b + 6 : b + 7, :]
+
+        def safe_inv(row):
+            return 1.0 / jnp.where(
+                row == 0.0, jnp.where(1.0 / row < 0.0, -TINY, TINY), row
+            )
+
+        idx_s[w : w + 1, :] = safe_inv(rdx_s[w : w + 1, :])
+        idy_s[w : w + 1, :] = safe_inv(rdy_s[w : w + 1, :])
+        idz_s[w : w + 1, :] = safe_inv(rdz_s[w : w + 1, :])
+        tm = tmax_s[w : w + 1, :]
+        if any_hit:
+            bt_s[w : w + 1, :] = tm
+        else:
+            bt_s[w : w + 1, :] = jnp.minimum(
+                jnp.full((1, 128), F32_MAX), tm
+            )
+        btr_s[w : w + 1, :] = jnp.full((1, 128), -1, jnp.int32)
+        one = jnp.full((1, 1), 1, jnp.int32)
+        cur_s[w : w + 1, 0:1] = one * 0
+        qn_s[w : w + 1, 0:1] = one * 0
+        pend_s[w : w + 1, 0:1] = -one
+        act_s[w : w + 1, 0:1] = one
+
+    # ---- initial fill ----
+    n0 = min(W, n_strands)
+    ctr_smem[0] = n0
+    ctr_smem[1] = W - n0
+    for w in range(W):
+        flags_smem[w] = 0
+        if w < n0:
+            sid_smem[w] = w
+            pltpu.make_async_copy(
+                rays_ref.at[pl.ds(8 * w, 8), :],
+                stin_s.at[pl.ds(8 * w, 8), :],
+                sem_in.at[w],
+            ).start()
+        else:
+            sid_smem[w] = -1
+            one = jnp.full((1, 1), 1, jnp.int32)
+            act_s[w : w + 1, 0:1] = one * 0
+            cur_s[w : w + 1, 0:1] = -one
+            qn_s[w : w + 1, 0:1] = one * 0
+            pend_s[w : w + 1, 0:1] = -one
+            # inactive rows still flow through the vector step: give them
+            # inert values (ACT/PM masks make them no-ops regardless)
+            bt_s[w : w + 1, :] = jnp.full((1, 128), -jnp.inf)
+            btr_s[w : w + 1, :] = jnp.full((1, 128), -1, jnp.int32)
+            tmax_s[w : w + 1, :] = jnp.full((1, 128), -jnp.inf)
+            rdx_s[w : w + 1, :] = jnp.ones((1, 128))
+            rdy_s[w : w + 1, :] = jnp.ones((1, 128))
+            rdz_s[w : w + 1, :] = jnp.ones((1, 128))
+            rox_s[w : w + 1, :] = jnp.zeros((1, 128))
+            roy_s[w : w + 1, :] = jnp.zeros((1, 128))
+            roz_s[w : w + 1, :] = jnp.zeros((1, 128))
+            idx_s[w : w + 1, :] = jnp.ones((1, 128))
+            idy_s[w : w + 1, :] = jnp.ones((1, 128))
+            idz_s[w : w + 1, :] = jnp.ones((1, 128))
+    for w in range(n0):
+        pltpu.make_async_copy(
+            rays_ref.at[pl.ds(8 * w, 8), :],
+            stin_s.at[pl.ds(8 * w, 8), :],
+            sem_in.at[w],
+        ).wait()
+        install(w)
+
+    LANE = lax.broadcasted_iota(jnp.int32, (W, 128), 1)
+
+    def leaf_phase():
+        """One batched Moller-Trumbore pass over every pending leaf row
+        (identical op order to kernels/strand.py leaf_phase)."""
+        pend = pend_s[...]
+        for w in range(W):
+            lr = jnp.maximum(pend_s[w, 0], 0)
+            sleaf_s[w : w + 1, 0 : leaf_ref.shape[1]] = leaf_ref[
+                pl.ds(lr, 1), :
+            ]
+        L = sleaf_s[...]
+        PM = pend >= 0
+        LR = jnp.maximum(pend, 0)
+        ROX, ROY, ROZ = rox_s[...], roy_s[...], roz_s[...]
+        RDX, RDY, RDZ = rdx_s[...], rdy_s[...], rdz_s[...]
+        best_t = bt_s[...]
+        best_tri = btr_s[...]
+        for k in range(LEAF_SIZE):
+            b = 10 * k
+            p0x, p0y, p0z = L[:, b : b + 1], L[:, b + 1 : b + 2], L[:, b + 2 : b + 3]
+            e1x, e1y, e1z = L[:, b + 3 : b + 4], L[:, b + 4 : b + 5], L[:, b + 5 : b + 6]
+            e2x, e2y, e2z = L[:, b + 6 : b + 7], L[:, b + 7 : b + 8], L[:, b + 8 : b + 9]
+            pvx = RDY * e2z - RDZ * e2y
+            pvy = RDZ * e2x - RDX * e2z
+            pvz = RDX * e2y - RDY * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            inv = 1.0 / det
+            tvx = ROX - p0x
+            tvy = ROY - p0y
+            tvz = ROZ - p0z
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            v = (RDX * qx + RDY * qy + RDZ * qz) * inv
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv
+            geo_ok = (
+                (det != 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & PM
+            )
+            slot = LR * LEAF_SIZE + k
+            if any_hit:
+                ok = geo_ok & (t >= tmin) & (t <= best_t)
+                best_tri = jnp.where(ok, slot, best_tri)
+            else:
+                ok = geo_ok & (t >= tmin) & (
+                    (t < best_t) | ((t == best_t) & (slot < best_tri))
+                )
+                best_t = jnp.where(ok, t, best_t)
+                best_tri = jnp.where(ok, slot, best_tri)
+        bt_s[...] = best_t
+        btr_s[...] = best_tri
+
+    def body(carry):
+        it, _ = carry
+        # 1) fetch + batched octant roll (the strand kernel's multiroll
+        #    fetch: amounts are (c%2)*64 + octant*8, all multiples of 8)
+        for w in range(W):
+            c = jnp.maximum(cur_s[w, 0], 0)
+            snode_s[w : w + 1, :] = tree_ref[pl.ds(c // 2, 1), :]
+        cur = cur_s[...]
+        S = snode_s[...]
+        RDX0 = rdx_s[:, 0:1]
+        RDY0 = rdy_s[:, 0:1]
+        RDZ0 = rdz_s[:, 0:1]
+        OB = (
+            (RDX0 < 0.0).astype(jnp.int32)
+            + 2 * (RDY0 < 0.0).astype(jnp.int32)
+            + 4 * (RDZ0 < 0.0).astype(jnp.int32)
+        ) * 8
+        AMT = (jnp.maximum(cur, 0) & 1) * 64 + OB
+        for b in (3, 4, 5, 6):
+            S = jnp.where(
+                (AMT & (1 << b)) != 0,
+                pltpu.roll(S, 128 - (1 << b), 1), S,
+            )
+        ACT = cur >= 0
+        HITL = S[:, 6:7].astype(jnp.int32)
+        MISSL = S[:, 7:8].astype(jnp.int32)
+        TMAX = tmax_s[...]
+        best_t = bt_s[...]
+        best_tri = btr_s[...]
+        if any_hit:
+            LIMIT = jnp.where(best_tri >= 0, -jnp.inf, TMAX)
+            all_done = jnp.all(
+                (best_tri >= 0) | (TMAX < 0.0), axis=1, keepdims=True
+            )
+            ACT = ACT & jnp.logical_not(all_done)
+        else:
+            LIMIT = best_t
+        IDX, IDY, IDZ = idx_s[...], idy_s[...], idz_s[...]
+        NEGX, NEGY, NEGZ = IDX < 0.0, IDY < 0.0, IDZ < 0.0
+        ROX, ROY, ROZ = rox_s[...], roy_s[...], roz_s[...]
+        # 2) slab test (per-walker box broadcast from (W,1) columns)
+        lox = (jnp.where(NEGX, S[:, 3:4], S[:, 0:1]) - ROX) * IDX
+        hix = (jnp.where(NEGX, S[:, 0:1], S[:, 3:4]) - ROX) * IDX
+        loy = (jnp.where(NEGY, S[:, 4:5], S[:, 1:2]) - ROY) * IDY
+        hiy = (jnp.where(NEGY, S[:, 1:2], S[:, 4:5]) - ROY) * IDY
+        loz = (jnp.where(NEGZ, S[:, 5:6], S[:, 2:3]) - ROZ) * IDZ
+        hiz = (jnp.where(NEGZ, S[:, 2:3], S[:, 5:6]) - ROZ) * IDZ
+        near = jnp.maximum(jnp.maximum(lox, loy), jnp.maximum(loz, tmin))
+        far = jnp.minimum(jnp.minimum(hix, hiy), jnp.minimum(hiz, LIMIT))
+        HIT = near <= far
+        hit_any = jnp.any(HIT, axis=1, keepdims=True) & ACT
+        IS_LEAF = HITL < 0
+        # 3) advance walkers
+        pend = jnp.where(hit_any & IS_LEAF, ~HITL, -1)
+        nxt = jnp.where(hit_any & jnp.logical_not(IS_LEAF), HITL, MISSL)
+        nxt = jnp.where(ACT, nxt, jnp.int32(-1))
+        cur_s[...] = nxt
+        # 4) enqueue leaf visits (LIFO insert at lane 0)
+        enq = pend >= 0
+        q = queue_s[...]
+        q = jnp.where(enq, pltpu.roll(q, 1, 1), q)
+        queue_s[...] = jnp.where(enq & (LANE == 0), pend, q)
+        qn = qn_s[...] + enq.astype(jnp.int32)
+        qn_s[...] = qn
+        # 5) flush when every walker is finished-or-queued or on
+        #    overflow risk (same deferral as kernels/strand.py — the
+        #    committed set is unchanged, lowest-slot ties)
+        ready = (qn > 0) | (nxt < 0)
+        do_leaf = (jnp.all(ready) & jnp.any(qn > 0)) | (
+            jnp.max(qn) >= QCAP
+        )
+
+        @pl.when(do_leaf)
+        def _():
+            qf = queue_s[...]
+            qnf = qn_s[...]
+            popped = qnf > 0
+            pend_s[...] = jnp.where(popped, qf[:, 0:1], -1)
+            queue_s[...] = jnp.where(popped, pltpu.roll(qf, 127, 1), qf)
+            qn_s[...] = qnf - popped.astype(jnp.int32)
+            leaf_phase()
+
+        # 6) service: batch-refill walkers whose strand completed (walk
+        #    terminated AND leaf queue drained). Fires when >= service_k
+        #    walkers wait, or when nobody is mid-walk/mid-queue (drain
+        #    tail + small waves), so the predicated scalar blocks stay
+        #    off the hot step path.
+        cur_now = cur_s[...]
+        qn_now = qn_s[...]
+        need_v = (cur_now < 0) & (qn_now == 0) & (act_s[...] == 1)
+        n_need = jnp.sum(need_v.astype(jnp.int32))
+        others_busy = jnp.any((cur_now >= 0) | (qn_now > 0))
+        do_service = (n_need >= service_k) | (
+            (n_need > 0) & jnp.logical_not(others_busy)
+        )
+
+        @pl.when(do_service)
+        def _():
+            for w in range(W):
+                needs = (
+                    (cur_s[w, 0] < 0) & (qn_s[w, 0] == 0)
+                    & (act_s[w, 0] == 1)
+                )
+
+                @pl.when(needs)
+                def _(w=w):
+                    # previous out-copy must land before staging reuse
+                    @pl.when(flags_smem[w] == 1)
+                    def _(w=w):
+                        pltpu.make_async_copy(
+                            stt_s.at[pl.ds(w, 1), :],
+                            t_ref.at[pl.ds(0, 1), :],
+                            sem_out.at[w, 0],
+                        ).wait()
+                        pltpu.make_async_copy(
+                            sti_s.at[pl.ds(w, 1), :],
+                            tri_ref.at[pl.ds(0, 1), :],
+                            sem_out.at[w, 1],
+                        ).wait()
+
+                    stt_s[w : w + 1, :] = bt_s[w : w + 1, :]
+                    sti_s[w : w + 1, :] = btr_s[w : w + 1, :]
+                    out_row = sid_smem[w]
+                    pltpu.make_async_copy(
+                        stt_s.at[pl.ds(w, 1), :],
+                        t_ref.at[pl.ds(out_row, 1), :],
+                        sem_out.at[w, 0],
+                    ).start()
+                    pltpu.make_async_copy(
+                        sti_s.at[pl.ds(w, 1), :],
+                        tri_ref.at[pl.ds(out_row, 1), :],
+                        sem_out.at[w, 1],
+                    ).start()
+                    flags_smem[w] = 1
+                    s_next = ctr_smem[0]
+
+                    @pl.when(s_next < n_strands)
+                    def _(w=w, s_next=s_next):
+                        ctr_smem[0] = s_next + 1
+                        sid_smem[w] = s_next
+                        flags_smem[w] = 3  # have_out | refilled
+                        pltpu.make_async_copy(
+                            rays_ref.at[pl.ds(8 * s_next, 8), :],
+                            stin_s.at[pl.ds(8 * w, 8), :],
+                            sem_in.at[w],
+                        ).start()
+
+                    @pl.when(s_next >= n_strands)
+                    def _(w=w):
+                        act_s[w : w + 1, 0:1] = jnp.zeros(
+                            (1, 1), jnp.int32
+                        )
+                        sid_smem[w] = -1
+                        ctr_smem[1] = ctr_smem[1] + 1
+
+            for w in range(W):
+                @pl.when(flags_smem[w] == 3)
+                def _(w=w):
+                    pltpu.make_async_copy(
+                        rays_ref.at[pl.ds(0, 8), :],
+                        stin_s.at[pl.ds(8 * w, 8), :],
+                        sem_in.at[w],
+                    ).wait()
+                    install(w)
+                    flags_smem[w] = 1
+
+        # the parked count rides the carry: Pallas while conditions are
+        # pure jax over carries, so SMEM state is sampled at body exit
+        return it + 1, ctr_smem[1]
+
+    def cond(carry):
+        it, parked = carry
+        return (parked < W) & (it < max_iters)
+
+    lax.while_loop(cond, body, (jnp.int32(0), ctr_smem[1]))
+
+    # drain the final out-copies so pallas_call's outputs are complete
+    for w in range(W):
+        @pl.when(flags_smem[w] == 1)
+        def _(w=w):
+            pltpu.make_async_copy(
+                stt_s.at[pl.ds(w, 1), :],
+                t_ref.at[pl.ds(0, 1), :],
+                sem_out.at[w, 0],
+            ).wait()
+            pltpu.make_async_copy(
+                sti_s.at[pl.ds(w, 1), :],
+                tri_ref.at[pl.ds(0, 1), :],
+                sem_out.at[w, 1],
+            ).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tmin", "any_hit", "interpret", "walkers",
+                     "service_k"),
+)
+def strand_query_persistent(
+    tree_rows,
+    leaf_tris,
+    rox, roy, roz,
+    rdx, rdy, rdz,
+    tmax,
+    tmin: float = 0.001,
+    any_hit: bool = False,
+    interpret: bool = False,
+    walkers: int = 128,
+    service_k: int = 16,
+):
+    """Trace R rays (coherence-sorted; consecutive 128 = one strand)
+    with W persistent walkers refilling from an on-device strand queue.
+    Same contract and bit-identical results as strand_query."""
+    r = rox.shape[0]
+    r_pad = -(-r // 128) * 128
+
+    def padr(a, fill):
+        if r_pad == r:
+            return a
+        return jnp.concatenate([a, jnp.full((r_pad - r,), fill, a.dtype)])
+
+    tmax = padr(jnp.broadcast_to(tmax, (r,)), -jnp.inf)
+    rox, roy, roz = padr(rox, 0.0), padr(roy, 0.0), padr(roz, 0.0)
+    rdx, rdy, rdz = padr(rdx, 1.0), padr(rdy, 1.0), padr(rdz, 1.0)
+    n_strands = r_pad // 128
+    pad_row = jnp.zeros((r_pad,), jnp.float32)
+    # strand s rows 8s..8s+7: rox roy roz rdx rdy rdz tmax pad
+    rays8 = jnp.stack(
+        [rox, roy, roz, rdx, rdy, rdz, tmax, pad_row]
+    ).reshape(8, n_strands, 128).transpose(1, 0, 2).reshape(-1, 128)
+
+    kernel = functools.partial(
+        _persistent_kernel,
+        n_strands=n_strands,
+        tmin=tmin,
+        any_hit=any_hit,
+        walkers=walkers,
+        service_k=service_k,
+        # generous step bound: every strand could walk every node twice
+        # before this trips (a debugging backstop, not a scheduler limit)
+        max_iters=max(1_000_000, n_strands * 64),
+    )
+    t, tri = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_strands, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_strands, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((walkers, 128), jnp.float32),  # rox
+            pltpu.VMEM((walkers, 128), jnp.float32),  # roy
+            pltpu.VMEM((walkers, 128), jnp.float32),  # roz
+            pltpu.VMEM((walkers, 128), jnp.float32),  # rdx
+            pltpu.VMEM((walkers, 128), jnp.float32),  # rdy
+            pltpu.VMEM((walkers, 128), jnp.float32),  # rdz
+            pltpu.VMEM((walkers, 128), jnp.float32),  # tmax
+            pltpu.VMEM((walkers, 128), jnp.float32),  # idx
+            pltpu.VMEM((walkers, 128), jnp.float32),  # idy
+            pltpu.VMEM((walkers, 128), jnp.float32),  # idz
+            pltpu.VMEM((walkers, 128), jnp.float32),  # best t
+            pltpu.VMEM((walkers, 128), jnp.int32),  # best tri
+            pltpu.VMEM((walkers, 128), jnp.float32),  # stage t
+            pltpu.VMEM((walkers, 128), jnp.int32),  # stage tri
+            pltpu.VMEM((walkers * 8, 128), jnp.float32),  # stage in
+            pltpu.VMEM((walkers, 128), jnp.float32),  # snode
+            pltpu.VMEM((walkers, 128), jnp.float32),  # sleaf
+            pltpu.VMEM((walkers, 128), jnp.int32),  # leaf queue
+            pltpu.VMEM((walkers, 1), jnp.int32),  # queue depth
+            pltpu.VMEM((walkers, 1), jnp.int32),  # cur node
+            pltpu.VMEM((walkers, 1), jnp.int32),  # pending leaf
+            pltpu.VMEM((walkers, 1), jnp.int32),  # active flag
+            pltpu.SMEM((walkers,), jnp.int32),  # strand id
+            pltpu.SMEM((walkers,), jnp.int32),  # have_out/refilled
+            pltpu.SMEM((2,), jnp.int32),  # next strand / parked
+            pltpu.SemaphoreType.DMA((walkers,)),
+            pltpu.SemaphoreType.DMA((walkers, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(tree_rows, leaf_tris, rays8)
+    return t.reshape(r_pad)[:r], tri.reshape(r_pad)[:r]

@@ -124,3 +124,60 @@ def test_strand_any_hit_matches_brute():
     _, btri = _brute(pp0, pe1, pe2, ro, rd, 0.0, tmax, any_hit=True)
     blocked = np.asarray(tri) >= 0
     np.testing.assert_array_equal(blocked, btri >= 0)
+
+
+@pytest.mark.parametrize("walkers,service_k", [(8, 2), (16, 16)])
+def test_persistent_strand_matches_strand(walkers, service_k):
+    """The persistent-refill kernel (kernels/strand_persistent.py) must
+    be BIT-identical to strand_query: same tree, same per-ray math, only
+    the walker->strand schedule differs. Tiny walker counts force many
+    refill service events (including the drain tail)."""
+    from raytpu.kernels.strand_persistent import strand_query_persistent
+
+    p0, e1, e2 = _scene(600, seed=11)
+    bvh, _ = build_bvh(p0, e1, e2)
+    tree = build_strand_tree(bvh)
+    ro, rd = _rays(4096, seed=7)
+    ro, rd = _sort_octant(ro, rd)
+    leaf, *_ = _leaf_rows(p0, e1, e2, bvh)
+    tmax = np.full(4096, 3.40282347e38, np.float32)
+    tmax[::9] = -np.inf
+    args = (jnp.asarray(tree.rows), jnp.asarray(leaf),
+            *(jnp.asarray(ro[:, a]) for a in range(3)),
+            *(jnp.asarray(rd[:, a]) for a in range(3)),
+            jnp.asarray(tmax))
+    t_ref, tri_ref = strand_query(*args, tmin=0.001, interpret=True)
+    t_p, tri_p = strand_query_persistent(
+        *args, tmin=0.001, interpret=True, walkers=walkers,
+        service_k=service_k,
+    )
+    np.testing.assert_array_equal(np.asarray(tri_p), np.asarray(tri_ref))
+    np.testing.assert_array_equal(np.asarray(t_p), np.asarray(t_ref))
+
+
+def test_persistent_strand_small_wave_and_any_hit():
+    """Waves smaller than the walker pool park the surplus walkers at
+    init; any-hit blocking must match strand_query bit-for-bit."""
+    from raytpu.kernels.strand_persistent import strand_query_persistent
+
+    p0, e1, e2 = _scene(300, seed=2)
+    bvh, _ = build_bvh(p0, e1, e2)
+    tree = build_strand_tree(bvh)
+    ro, rd = _rays(640, seed=3)  # 5 strands < 16 walkers
+    ro, rd = _sort_octant(ro, rd)
+    leaf, *_ = _leaf_rows(p0, e1, e2, bvh)
+    tmax = np.full(640, 6.0, np.float32)
+    tmax[::5] = -np.inf
+    args = (jnp.asarray(tree.rows), jnp.asarray(leaf),
+            *(jnp.asarray(ro[:, a]) for a in range(3)),
+            *(jnp.asarray(rd[:, a]) for a in range(3)),
+            jnp.asarray(tmax))
+    _, tri_ref = strand_query(*args, tmin=0.0, any_hit=True,
+                              interpret=True)
+    _, tri_p = strand_query_persistent(
+        *args, tmin=0.0, any_hit=True, interpret=True, walkers=16,
+        service_k=4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tri_p) >= 0, np.asarray(tri_ref) >= 0
+    )
