@@ -379,7 +379,10 @@ def strand_query(
         _strand_kernel, tmin=tmin, any_hit=any_hit, with_stats=with_stats,
         walkers=walkers,
         skip_done=bool(os.environ.get("RAYTPU_STRAND_SKIP_DONE")),
-        multiroll=os.environ.get("RAYTPU_STRAND_MULTIROLL", "1") != "0",
+        # measured default: the batched 4-roll fetch is FLAT on captured
+        # waves and -1% on the headline frame (1034.7 vs 1024.1 ms) —
+        # per-step cost is load-bound, not roll-bound (PROFILE_r3)
+        multiroll=os.environ.get("RAYTPU_STRAND_MULTIROLL", "0") != "0",
     )
     out_specs = [rspec, rspec]
     out_shape = [

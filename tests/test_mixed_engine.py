@@ -59,6 +59,25 @@ def test_segmented_sort_matches_legacy(monkeypatch):
     assert_images_equiv(ref, sorted_q)
 
 
+def test_persistent_strand_engine_matches_legacy(monkeypatch):
+    """RAYTPU_STRAND_PERSISTENT=1 routes sorted bounce waves to the
+    persistent-refill kernel (kernels/strand_persistent.py); frames must
+    match the plain XLA walk exactly (tiny walker pool forces refills)."""
+    monkeypatch.setenv("RAYTPU_STRAND_PERSISTENT", "1")
+    monkeypatch.setenv("RAYTPU_STRAND_WALKERS", "8")
+    monkeypatch.setenv("RAYTPU_STRAND_SERVICE_K", "2")
+    scene, pack = cached_atrium_pack(5000)
+    cam = pack_camera(scene.camera)
+    kw = dict(width=48, height=32, seed=3, samples=1, bounces=3,
+              chunk_size=8)
+    ref = render_frame(pack, cam, raytpu.RenderConfig(**kw,
+                                                      intersector="bvh"))
+    sorted_q = render_frame(
+        pack, cam, raytpu.RenderConfig(**kw, intersector="packet")
+    )
+    assert_images_equiv(ref, sorted_q)
+
+
 def test_small_scene_strand_routing_matches_legacy():
     """The round-3 threshold drop (4096 -> 256 slots, PROFILE_r3.md
     finding 3) put small BVH scenes on sorted strand bounces too; the
