@@ -67,10 +67,11 @@ def _persistent_kernel(
     queue_s,  # (W,128) i32
     qn_s, cur_s, pend_s, act_s,  # (W,1) i32
     sid_smem,  # SMEM (W,) i32 — current strand id per walker
-    flags_smem,  # SMEM (W,) i32 — bit0 have_out, bit1 refilled
+    flags_smem,  # SMEM (W,) i32 — 0 idle, 1 serviced+refilled,
+    #              2 serviced+parked
     ctr_smem,  # SMEM (2,) i32 — [next strand, walkers parked]
-    sem_in,  # DMA (W,)
-    sem_out,  # DMA (W, 2)
+    sem_in,  # DMA, shared by all in-copies (waits match starts 1:1)
+    sem_out,  # DMA, shared by all out-copies
     *,
     n_strands: int,
     tmin: float,
@@ -125,7 +126,7 @@ def _persistent_kernel(
             pltpu.make_async_copy(
                 rays_ref.at[pl.ds(8 * w, 8), :],
                 stin_s.at[pl.ds(8 * w, 8), :],
-                sem_in.at[w],
+                sem_in,
             ).start()
         else:
             sid_smem[w] = -1
@@ -152,7 +153,7 @@ def _persistent_kernel(
         pltpu.make_async_copy(
             rays_ref.at[pl.ds(8 * w, 8), :],
             stin_s.at[pl.ds(8 * w, 8), :],
-            sem_in.at[w],
+            sem_in,
         ).wait()
         install(w)
 
@@ -308,6 +309,8 @@ def _persistent_kernel(
 
         @pl.when(do_service)
         def _():
+            # pass 1: stage + start all out/in copies (they overlap
+            # across the whole service batch)
             for w in range(W):
                 needs = (
                     (cur_s[w, 0] < 0) & (qn_s[w, 0] == 0)
@@ -316,45 +319,30 @@ def _persistent_kernel(
 
                 @pl.when(needs)
                 def _(w=w):
-                    # previous out-copy must land before staging reuse
-                    @pl.when(flags_smem[w] == 1)
-                    def _(w=w):
-                        pltpu.make_async_copy(
-                            stt_s.at[pl.ds(w, 1), :],
-                            t_ref.at[pl.ds(0, 1), :],
-                            sem_out.at[w, 0],
-                        ).wait()
-                        pltpu.make_async_copy(
-                            sti_s.at[pl.ds(w, 1), :],
-                            tri_ref.at[pl.ds(0, 1), :],
-                            sem_out.at[w, 1],
-                        ).wait()
-
                     stt_s[w : w + 1, :] = bt_s[w : w + 1, :]
                     sti_s[w : w + 1, :] = btr_s[w : w + 1, :]
                     out_row = sid_smem[w]
                     pltpu.make_async_copy(
                         stt_s.at[pl.ds(w, 1), :],
                         t_ref.at[pl.ds(out_row, 1), :],
-                        sem_out.at[w, 0],
+                        sem_out,
                     ).start()
                     pltpu.make_async_copy(
                         sti_s.at[pl.ds(w, 1), :],
                         tri_ref.at[pl.ds(out_row, 1), :],
-                        sem_out.at[w, 1],
+                        sem_out,
                     ).start()
-                    flags_smem[w] = 1
                     s_next = ctr_smem[0]
 
                     @pl.when(s_next < n_strands)
                     def _(w=w, s_next=s_next):
                         ctr_smem[0] = s_next + 1
                         sid_smem[w] = s_next
-                        flags_smem[w] = 3  # have_out | refilled
+                        flags_smem[w] = 1  # serviced + refilled
                         pltpu.make_async_copy(
                             rays_ref.at[pl.ds(8 * s_next, 8), :],
                             stin_s.at[pl.ds(8 * w, 8), :],
-                            sem_in.at[w],
+                            sem_in,
                         ).start()
 
                     @pl.when(s_next >= n_strands)
@@ -363,18 +351,40 @@ def _persistent_kernel(
                             (1, 1), jnp.int32
                         )
                         sid_smem[w] = -1
+                        flags_smem[w] = 2  # serviced + parked
                         ctr_smem[1] = ctr_smem[1] + 1
 
+            # pass 2: drain THIS batch's out-copies (shared semaphore:
+            # waits match starts 1:1; staging reuse is safe afterwards)
             for w in range(W):
-                @pl.when(flags_smem[w] == 3)
+                @pl.when(flags_smem[w] >= 1)
+                def _(w=w):
+                    pltpu.make_async_copy(
+                        stt_s.at[pl.ds(w, 1), :],
+                        t_ref.at[pl.ds(0, 1), :],
+                        sem_out,
+                    ).wait()
+                    pltpu.make_async_copy(
+                        sti_s.at[pl.ds(w, 1), :],
+                        tri_ref.at[pl.ds(0, 1), :],
+                        sem_out,
+                    ).wait()
+
+            # pass 3: wait the in-copies and install the new strands
+            for w in range(W):
+                @pl.when(flags_smem[w] == 1)
                 def _(w=w):
                     pltpu.make_async_copy(
                         rays_ref.at[pl.ds(0, 8), :],
                         stin_s.at[pl.ds(8 * w, 8), :],
-                        sem_in.at[w],
+                        sem_in,
                     ).wait()
                     install(w)
-                    flags_smem[w] = 1
+
+            for w in range(W):
+                @pl.when(flags_smem[w] >= 1)
+                def _(w=w):
+                    flags_smem[w] = 0
 
         # the parked count rides the carry: Pallas while conditions are
         # pure jax over carries, so SMEM state is sampled at body exit
@@ -385,21 +395,8 @@ def _persistent_kernel(
         return (parked < W) & (it < max_iters)
 
     lax.while_loop(cond, body, (jnp.int32(0), ctr_smem[1]))
-
-    # drain the final out-copies so pallas_call's outputs are complete
-    for w in range(W):
-        @pl.when(flags_smem[w] == 1)
-        def _(w=w):
-            pltpu.make_async_copy(
-                stt_s.at[pl.ds(w, 1), :],
-                t_ref.at[pl.ds(0, 1), :],
-                sem_out.at[w, 0],
-            ).wait()
-            pltpu.make_async_copy(
-                sti_s.at[pl.ds(w, 1), :],
-                tri_ref.at[pl.ds(0, 1), :],
-                sem_out.at[w, 1],
-            ).wait()
+    # no post-loop drain needed: every service batch waits its own
+    # out-copies before the next step
 
 
 @functools.partial(
@@ -492,8 +489,8 @@ def strand_query_persistent(
             pltpu.SMEM((walkers,), jnp.int32),  # strand id
             pltpu.SMEM((walkers,), jnp.int32),  # have_out/refilled
             pltpu.SMEM((2,), jnp.int32),  # next strand / parked
-            pltpu.SemaphoreType.DMA((walkers,)),
-            pltpu.SemaphoreType.DMA((walkers, 2)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
