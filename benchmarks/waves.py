@@ -375,9 +375,13 @@ def _ab_main(args):
                 rd[:, 0], rd[:, 1], rd[:, 2], tmax,
                 tmin=w["tmin"], any_hit=any_hit, walkers=W, service_k=K,
             )
-            ag = bool(
-                (np.asarray(tri_pp) == np.asarray(tri_s0)).all()
-            )
+            tpp, ts0 = np.asarray(tri_pp), np.asarray(tri_s0)
+            if any_hit:
+                # shadow semantics: ANY blocker is acceptable; the
+                # persistent refill order may surface a different one
+                ag = bool(((tpp >= 0) == (ts0 >= 0)).all())
+            else:
+                ag = bool((tpp == ts0).all())
             print(f"| {name} | persist-w{W}k{K} | {r/dt_pp/1e6:8.1f} | "
                   f"{dt_pp*1000:7.2f} | {ag} | | |", flush=True)
         # agreement: full tri arrays (any-hit compares blocked sets)

@@ -461,11 +461,15 @@ def make_strand_intersectors(pack, tmin: float = 0.001,
 
     tree = pack.bvh.strand_rows
     leaves = pack.bvh.leaf_tris
-    # RAYTPU_STRAND_PERSISTENT=1 swaps in the persistent-refill kernel
-    # (kernels/strand_persistent.py): same math bit-for-bit, walkers
-    # refill from an on-device strand queue instead of paying each
-    # block's slowest strand (the 2.7-4.3x drain tail, PROFILE_r3)
-    persistent = os.environ.get("RAYTPU_STRAND_PERSISTENT")
+    # The persistent-refill kernel (kernels/strand_persistent.py) is the
+    # default: same math bit-for-bit, walkers refill from an on-device
+    # strand queue instead of paying each block's slowest strand (the
+    # 2.7-4.3x drain tail). Measured on captured atrium bounce waves
+    # (benchmarks/waves.py ab, TPU v5e): 13.2/17.8/40.5/30.1 Mrays/s on
+    # b1c/b2c/b2s/b3c vs 4.8/7.1/14.3/13.2 for the block kernel —
+    # 2.3-2.8x everywhere. RAYTPU_STRAND_PERSISTENT=0 restores the block
+    # kernel for A/Bs.
+    persistent = os.environ.get("RAYTPU_STRAND_PERSISTENT", "1") != "0"
 
     def query(ro, rd, tmax_r, tmin_q, any_q):
         if persistent:

@@ -275,12 +275,20 @@ def _persistent_kernel(
         queue_s[...] = jnp.where(enq & (LANE == 0), pend, q)
         qn = qn_s[...] + enq.astype(jnp.int32)
         qn_s[...] = qn
-        # 5) flush when every walker is finished-or-queued or on
-        #    overflow risk (same deferral as kernels/strand.py — the
-        #    committed set is unchanged, lowest-slot ties)
-        ready = (qn > 0) | (nxt < 0)
-        do_leaf = (jnp.all(ready) & jnp.any(qn > 0)) | (
-            jnp.max(qn) >= QCAP
+        # 5) flush policy: the block kernel's "flush when EVERY walker
+        #    is finished-or-queued" almost never fires under persistent
+        #    refill (a just-refilled walker is never ready), so queues
+        #    hit QCAP and the kernel devolves into a flush-per-step MT
+        #    storm (first hardware run: b2c 208 ms vs 29). Flush instead
+        #    at a queued-occupancy threshold (3/4 of walkers serve per
+        #    MT pass), when nobody is mid-walk (drain), or on overflow.
+        #    Deferral still only delays best-t shrink: committed sets
+        #    are unchanged (lowest-slot ties).
+        n_q = jnp.sum((qn > 0).astype(jnp.int32))
+        do_leaf = (
+            (n_q >= (3 * W) // 4)
+            | ((n_q > 0) & jnp.logical_not(jnp.any(nxt >= 0)))
+            | (jnp.max(qn) >= QCAP)
         )
 
         @pl.when(do_leaf)
