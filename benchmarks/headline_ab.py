@@ -55,14 +55,19 @@ def main():
             bench._build_multi_mesh_glb(path)
         scene = raytpu.load_scene(path)
         pack = pack_scene(scene)
+        bb = os.environ.get("RAYTPU_BOUNCE_BACKEND")
+        extra = {"bounce_backend": bb} if bb else {}
         cfg = raytpu.RenderConfig(width=256, height=256, seed=1, samples=2,
                                   bounces=3, chunk_size=32,
-                                  bruteforce_max_tris=64)
+                                  bruteforce_max_tris=64, **extra)
     else:
         scene, pack = bench._cached_atrium(args.tris)
         extra = {}
         if args.intersector:
             extra["intersector"] = args.intersector
+        bb = os.environ.get("RAYTPU_BOUNCE_BACKEND")
+        if bb:
+            extra["bounce_backend"] = bb
         cfg = raytpu.RenderConfig(width=args.width, height=args.height,
                                   seed=1, samples=1, bounces=args.bounces,
                                   chunk_size=8, tile_rows=args.tile_rows,

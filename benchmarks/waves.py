@@ -348,7 +348,9 @@ def _ab_main(args):
                   f"{dt_g*1000:7.2f} | | | |", flush=True)
         dt_s = timed_strand(args.groups[-1])
 
-        for W, K in args.persistent:
+        for arm in args.persistent:
+            W, K = int(arm[0]), int(arm[1])
+            FO = float(arm[2]) if len(arm) > 2 else 0.75
             from raytpu.kernels.strand_persistent import (
                 strand_query_persistent,
             )
@@ -359,7 +361,7 @@ def _ab_main(args):
                     stree, leaves, ro[:, 0], ro[:, 1], ro[:, 2],
                     rd[:, 0], rd[:, 1], rd[:, 2], tmax,
                     tmin=w["tmin"], any_hit=any_hit, walkers=W,
-                    service_k=K,
+                    service_k=K, flush_occ=FO,
                 )
                 return jnp.sum(jnp.abs(t) * 0.0) + jnp.sum(tri)
 
@@ -430,8 +432,9 @@ def main():
     ab.add_argument("--tris", type=int, default=250_000)
     ab.add_argument("--groups", type=int, nargs="*", default=[4])
     ab.add_argument("--persistent", type=lambda s: tuple(
-        int(x) for x in s.split(",")), nargs="*", default=[],
-        metavar="W,K", help="persistent-kernel arms (walkers,service_k)")
+        float(x) for x in s.split(",")), nargs="*", default=[],
+        metavar="W,K[,FO]",
+        help="persistent-kernel arms (walkers,service_k[,flush_occ])")
     ab.add_argument("--waves", nargs="*",
                     default=["b0c", "b1c", "b2c", "b3c", "b0s", "b2s"])
     args = ap.parse_args()

@@ -806,14 +806,20 @@ def _trace_paths(
         p_p, p_dir, p_dist, p_contrib, p_on = pend
 
         def resolve_last(rad):
+            # the last bounce's deferred shadow wave is the most
+            # incoherent of the frame — route it to the strand pair
+            # (persistent kernel) when the pack carries one
+            last_any = b_any if bounce_pair is not None else any_hit
             shadow_tmax = jnp.where(p_on, p_dist, NEG_INF)
             if sort_bounced:
                 blocked = _sorted_query(
-                    any_hit, pack, p_p, p_dir, jnp.float32(0.0),
+                    last_any, pack, p_p, p_dir, jnp.float32(0.0),
                     shadow_tmax, p_on, False,
                 )
             else:
-                blocked = any_hit(p_p, p_dir, jnp.float32(0.0), shadow_tmax)
+                blocked = last_any(
+                    p_p, p_dir, jnp.float32(0.0), shadow_tmax
+                )
             return rad + jnp.where(
                 (p_on & ~blocked)[:, None], p_contrib, 0.0
             )
@@ -944,6 +950,15 @@ def _choose_intersectors(pack: ScenePack, config: RenderConfig):
             from ..kernels.binned import make_binned_query
 
             mixed = make_binned_query(pack, interpret=interpret)
+        elif config.bounce_backend == "mixed":
+            if pack.bvh.strand_rows is None:
+                raise ValueError(
+                    "bounce_backend='mixed' needs a strand tree; pack "
+                    "the scene with the default packed tables"
+                )
+            from ..kernels.strand import make_strand_mixed_query
+
+            mixed = make_strand_mixed_query(pack, interpret=interpret)
         bounce_pair = None
         if pack.bvh.strand_rows is not None:
             from ..kernels.strand import make_strand_intersectors
@@ -1032,7 +1047,7 @@ def render_tile(
     pyf = py.astype(jnp.float32)
     sort_bounced = packet_mode and pack.n_triangles > _sort_min_tris()
     use_mixed = sort_bounced and (
-        prefer_mixed or config.bounce_backend == "binned"
+        prefer_mixed or config.bounce_backend in ("binned", "mixed")
     )
 
     def sample_body(_, carry):
@@ -1099,7 +1114,7 @@ def _count_tile(pack, camera, y0, config, tile_h, valid_rows):
     pxf, pyf = px.astype(jnp.float32), py.astype(jnp.float32)
     sort_bounced = packet_mode and pack.n_triangles > _sort_min_tris()
     use_mixed = sort_bounced and (
-        prefer_mixed or config.bounce_backend == "binned"
+        prefer_mixed or config.bounce_backend in ("binned", "mixed")
     )
 
     def body(i, carry):

@@ -484,6 +484,8 @@ def make_strand_intersectors(pack, tmin: float = 0.001,
                                            "128")),
                 service_k=int(os.environ.get("RAYTPU_STRAND_SERVICE_K",
                                              "16")),
+                flush_occ=float(os.environ.get("RAYTPU_STRAND_FLUSH",
+                                               "0.75")),
             )
         return strand_query(
             tree, leaves,
@@ -506,3 +508,33 @@ def make_strand_intersectors(pack, tmin: float = 0.001,
         return tri >= 0
 
     return closest, any_fn
+
+
+def make_strand_mixed_query(pack, interpret: bool = False):
+    """Deferred-NEE mixed query on the persistent strand kernel: ONE
+    launch serves bounce b's shadow wave and bounce b+1's continuation
+    wave after one shared coherence sort (engine _mixed_bounce_query) —
+    per-LANE any-hit flags replace the two per-bounce sorted queries.
+    Contract matches kernels/binned.py make_binned_query:
+    (ro, rd, tmax, smask, *, tmin, shadow_tmin) -> (t [R], tri [R])."""
+    import os
+
+    from .strand_persistent import strand_query_persistent
+
+    tree = pack.bvh.strand_rows
+    leaves = pack.bvh.leaf_tris
+    walkers = int(os.environ.get("RAYTPU_STRAND_WALKERS", "128"))
+    service_k = int(os.environ.get("RAYTPU_STRAND_SERVICE_K", "16"))
+    flush_occ = float(os.environ.get("RAYTPU_STRAND_FLUSH", "0.75"))
+
+    def query(ro, rd, tmax, smask, *, tmin: float, shadow_tmin: float):
+        return strand_query_persistent(
+            tree, leaves,
+            ro[:, 0], ro[:, 1], ro[:, 2],
+            rd[:, 0], rd[:, 1], rd[:, 2],
+            tmax, tmin=tmin, interpret=interpret,
+            walkers=walkers, service_k=service_k, flush_occ=flush_occ,
+            smask=smask, mixed=True, shadow_tmin=shadow_tmin,
+        )
+
+    return query

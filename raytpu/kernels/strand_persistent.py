@@ -66,6 +66,7 @@ def _persistent_kernel(
     sleaf_s,  # (W,128) f32
     queue_s,  # (W,128) i32
     qn_s, cur_s, pend_s, act_s,  # (W,1) i32
+    ah_s,  # (W,128) f32 — per-lane any-hit flag (mixed mode; zeros else)
     sid_smem,  # SMEM (W,) i32 — current strand id per walker
     flags_smem,  # SMEM (W,) i32 — 0 idle, 1 serviced+refilled,
     #              2 serviced+parked
@@ -79,8 +80,16 @@ def _persistent_kernel(
     walkers: int,
     service_k: int,
     max_iters: int,
+    flush_occ: float,
+    mixed: bool,
+    shadow_tmin: float,
 ):
     W = walkers
+    # mixed mode: rays8 row 7 carries a per-LANE any-hit flag (the
+    # deferred-NEE shadow mask) — one launch serves bounce b's shadow
+    # rays AND bounce b+1's continuation rays after one shared coherence
+    # sort (engine _mixed_bounce_query). Per-lane tmin follows the flag.
+    slab_tmin = min(tmin, shadow_tmin) if mixed else tmin
 
     def install(w):
         """Move staged strand rows into walker w's slots + init state."""
@@ -102,7 +111,14 @@ def _persistent_kernel(
         idy_s[w : w + 1, :] = safe_inv(rdy_s[w : w + 1, :])
         idz_s[w : w + 1, :] = safe_inv(rdz_s[w : w + 1, :])
         tm = tmax_s[w : w + 1, :]
-        if any_hit:
+        if mixed:
+            ah = stin_s[b + 7 : b + 8, :]
+            ah_s[w : w + 1, :] = ah
+            bt_s[w : w + 1, :] = jnp.where(
+                ah > 0.0, tm,
+                jnp.minimum(jnp.full((1, 128), F32_MAX), tm),
+            )
+        elif any_hit:
             bt_s[w : w + 1, :] = tm
         else:
             bt_s[w : w + 1, :] = jnp.minimum(
@@ -137,6 +153,8 @@ def _persistent_kernel(
             pend_s[w : w + 1, 0:1] = -one
             # inactive rows still flow through the vector step: give them
             # inert values (ACT/PM masks make them no-ops regardless)
+            if mixed:
+                ah_s[w : w + 1, :] = jnp.zeros((1, 128))
             bt_s[w : w + 1, :] = jnp.full((1, 128), -jnp.inf)
             btr_s[w : w + 1, :] = jnp.full((1, 128), -1, jnp.int32)
             tmax_s[w : w + 1, :] = jnp.full((1, 128), -jnp.inf)
@@ -175,6 +193,9 @@ def _persistent_kernel(
         RDX, RDY, RDZ = rdx_s[...], rdy_s[...], rdz_s[...]
         best_t = bt_s[...]
         best_tri = btr_s[...]
+        if mixed:
+            AH = ah_s[...] > 0.0
+            TMIN = jnp.where(AH, shadow_tmin, tmin)
         for k in range(LEAF_SIZE):
             b = 10 * k
             p0x, p0y, p0z = L[:, b : b + 1], L[:, b + 1 : b + 2], L[:, b + 2 : b + 3]
@@ -199,7 +220,20 @@ def _persistent_kernel(
                 & PM
             )
             slot = LR * LEAF_SIZE + k
-            if any_hit:
+            if mixed:
+                rng_ok = t >= TMIN
+                ok_any = geo_ok & rng_ok & (t <= best_t)
+                ok_clo = geo_ok & rng_ok & (
+                    (t < best_t) | ((t == best_t) & (slot < best_tri))
+                )
+                # boolean select via logic ops (Mosaic cannot lower
+                # select_n on i1 vectors)
+                ok = (AH & ok_any) | (jnp.logical_not(AH) & ok_clo)
+                best_t = jnp.where(
+                    ok & jnp.logical_not(AH), t, best_t
+                )
+                best_tri = jnp.where(ok, slot, best_tri)
+            elif any_hit:
                 ok = geo_ok & (t >= tmin) & (t <= best_t)
                 best_tri = jnp.where(ok, slot, best_tri)
             else:
@@ -240,7 +274,18 @@ def _persistent_kernel(
         TMAX = tmax_s[...]
         best_t = bt_s[...]
         best_tri = btr_s[...]
-        if any_hit:
+        if mixed:
+            AH = ah_s[...] > 0.0
+            # any-hit lanes stop contributing once blocked (their best_t
+            # never shrinks, so -inf kills further box hits); a walker
+            # whose lanes are all blocked-or-dead-or-shadow-done parks
+            LIMIT = jnp.where(AH & (best_tri >= 0), -jnp.inf, best_t)
+            all_done = jnp.all(
+                (AH & (best_tri >= 0)) | (TMAX < 0.0),
+                axis=1, keepdims=True,
+            )
+            ACT = ACT & jnp.logical_not(all_done)
+        elif any_hit:
             LIMIT = jnp.where(best_tri >= 0, -jnp.inf, TMAX)
             all_done = jnp.all(
                 (best_tri >= 0) | (TMAX < 0.0), axis=1, keepdims=True
@@ -258,7 +303,9 @@ def _persistent_kernel(
         hiy = (jnp.where(NEGY, S[:, 1:2], S[:, 4:5]) - ROY) * IDY
         loz = (jnp.where(NEGZ, S[:, 5:6], S[:, 2:3]) - ROZ) * IDZ
         hiz = (jnp.where(NEGZ, S[:, 2:3], S[:, 5:6]) - ROZ) * IDZ
-        near = jnp.maximum(jnp.maximum(lox, loy), jnp.maximum(loz, tmin))
+        near = jnp.maximum(
+            jnp.maximum(lox, loy), jnp.maximum(loz, slab_tmin)
+        )
         far = jnp.minimum(jnp.minimum(hix, hiy), jnp.minimum(hiz, LIMIT))
         HIT = near <= far
         hit_any = jnp.any(HIT, axis=1, keepdims=True) & ACT
@@ -286,7 +333,7 @@ def _persistent_kernel(
         #    are unchanged (lowest-slot ties).
         n_q = jnp.sum((qn > 0).astype(jnp.int32))
         do_leaf = (
-            (n_q >= (3 * W) // 4)
+            (n_q >= max(int(flush_occ * W), 1))
             | ((n_q > 0) & jnp.logical_not(jnp.any(nxt >= 0)))
             | (jnp.max(qn) >= QCAP)
         )
@@ -410,7 +457,7 @@ def _persistent_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("tmin", "any_hit", "interpret", "walkers",
-                     "service_k"),
+                     "service_k", "flush_occ", "mixed", "shadow_tmin"),
 )
 def strand_query_persistent(
     tree_rows,
@@ -423,10 +470,20 @@ def strand_query_persistent(
     interpret: bool = False,
     walkers: int = 128,
     service_k: int = 16,
+    flush_occ: float = 0.75,
+    smask=None,
+    mixed: bool = False,
+    shadow_tmin: float = 0.0,
 ):
     """Trace R rays (coherence-sorted; consecutive 128 = one strand)
     with W persistent walkers refilling from an on-device strand queue.
-    Same contract and bit-identical results as strand_query."""
+    Same contract and bit-identical results as strand_query.
+
+    ``mixed=True`` (deferred NEE): ``smask`` flags per-RAY any-hit
+    lanes — one launch serves a bounce's shadow wave and the next
+    bounce's continuation wave after one shared coherence sort; any-hit
+    lanes use ``shadow_tmin`` (the reference shoots shadows from t=0,
+    src/shader.wgsl:174-186) while closest lanes keep ``tmin``."""
     r = rox.shape[0]
     r_pad = -(-r // 128) * 128
 
@@ -439,8 +496,11 @@ def strand_query_persistent(
     rox, roy, roz = padr(rox, 0.0), padr(roy, 0.0), padr(roz, 0.0)
     rdx, rdy, rdz = padr(rdx, 1.0), padr(rdy, 1.0), padr(rdz, 1.0)
     n_strands = r_pad // 128
-    pad_row = jnp.zeros((r_pad,), jnp.float32)
-    # strand s rows 8s..8s+7: rox roy roz rdx rdy rdz tmax pad
+    if mixed:
+        pad_row = padr(jnp.asarray(smask, jnp.float32), 0.0)
+    else:
+        pad_row = jnp.zeros((r_pad,), jnp.float32)
+    # strand s rows 8s..8s+7: rox roy roz rdx rdy rdz tmax smask/pad
     rays8 = jnp.stack(
         [rox, roy, roz, rdx, rdy, rdz, tmax, pad_row]
     ).reshape(8, n_strands, 128).transpose(1, 0, 2).reshape(-1, 128)
@@ -452,6 +512,9 @@ def strand_query_persistent(
         any_hit=any_hit,
         walkers=walkers,
         service_k=service_k,
+        flush_occ=flush_occ,
+        mixed=mixed,
+        shadow_tmin=shadow_tmin,
         # generous step bound: every strand could walk every node twice
         # before this trips (a debugging backstop, not a scheduler limit)
         max_iters=max(1_000_000, n_strands * 64),
@@ -494,6 +557,7 @@ def strand_query_persistent(
             pltpu.VMEM((walkers, 1), jnp.int32),  # cur node
             pltpu.VMEM((walkers, 1), jnp.int32),  # pending leaf
             pltpu.VMEM((walkers, 1), jnp.int32),  # active flag
+            pltpu.VMEM((walkers, 128), jnp.float32),  # any-hit flags
             pltpu.SMEM((walkers,), jnp.int32),  # strand id
             pltpu.SMEM((walkers,), jnp.int32),  # have_out/refilled
             pltpu.SMEM((2,), jnp.int32),  # next strand / parked

@@ -50,12 +50,18 @@ class RenderConfig:
     #   "sorted" — coherence-sorted continuation + shadow queries, routed
     #              to the strand kernel when the pack carries a strand
     #              tree (kernels/strand.py)
+    #   "mixed"  — deferred NEE on the persistent strand kernel: bounce
+    #              b's shadow wave and bounce b+1's continuation wave
+    #              share ONE coherence sort and ONE kernel launch with
+    #              per-lane any-hit flags (strand_query_persistent
+    #              mixed=True) — halves per-bounce sorts and launches
     #   "binned" — deferred-NEE rays are binned by treelet and walk only
     #              their treelet's streamed window (kernels/binned.py) —
     #              the beyond-VMEM route, forced automatically there
-    # (a round-2 "mixed" resident arm — deferred NEE riding the next
-    # continuation packet, optionally in capped two-round form — measured
-    # slower end-to-end and was retired; record: docs/PROFILE_r2.md)
+    # (a round-2 "mixed" resident arm on the PACKET kernel — capped
+    # two-round form — measured slower end-to-end and was retired,
+    # record: docs/PROFILE_r2.md; today's "mixed" is the round-3
+    # persistent-kernel form)
     bounce_backend: str = "sorted"
 
 

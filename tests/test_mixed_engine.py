@@ -95,3 +95,26 @@ def test_small_scene_strand_routing_matches_legacy():
         pack, cam, raytpu.RenderConfig(**kw, intersector="packet")
     )
     assert_images_equiv(ref, sorted_q)
+
+
+def test_mixed_persistent_engine_matches_legacy(monkeypatch):
+    """bounce_backend='mixed': bounce b's NEE shadow wave rides bounce
+    b+1's continuation launch on the persistent strand kernel with
+    per-lane any-hit flags (strand_query_persistent mixed=True). The
+    deferred radiance additions happen in the reference's per-lane order
+    (a bounce's NEE lands before the next bounce's emissive term), so
+    the frame must match the plain XLA walk exactly. Tiny walker pool
+    forces refills mid-wave."""
+    monkeypatch.setenv("RAYTPU_STRAND_WALKERS", "8")
+    monkeypatch.setenv("RAYTPU_STRAND_SERVICE_K", "2")
+    scene, pack = cached_atrium_pack(5000)
+    cam = pack_camera(scene.camera)
+    kw = dict(width=48, height=32, seed=3, samples=1, bounces=3,
+              chunk_size=8)
+    ref = render_frame(pack, cam, raytpu.RenderConfig(**kw,
+                                                      intersector="bvh"))
+    mixed = render_frame(
+        pack, cam, raytpu.RenderConfig(**kw, intersector="packet",
+                                       bounce_backend="mixed")
+    )
+    assert_images_equiv(ref, mixed)
