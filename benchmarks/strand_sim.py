@@ -185,6 +185,10 @@ def main():
                     help="sort in independent segments of this many rays "
                          "(models RAYTPU_SORT_MODE=seg coherence loss; "
                          "0 = one full-wave sort)")
+    ap.add_argument("--nosort", action="store_true",
+                    help="skip the coherence sort entirely: strands = 128 "
+                         "consecutive rays of the engine's pixel-block "
+                         "order (sizes what the sort buys in walk steps)")
     args = ap.parse_args()
 
     import jax
@@ -209,7 +213,11 @@ def main():
         any_hit = w["kind"] == "shadow"
         for bits in args.morton_bits:
             os.environ["RAYTPU_MORTON_BITS"] = str(bits)
-            if args.seg:
+            if args.nosort:
+                ro = np.asarray(w["ro"], np.float32)
+                rd = np.asarray(w["rd"], np.float32)
+                tmax = np.asarray(w["tmax"], np.float32)
+            elif args.seg:
                 parts = []
                 n = len(w["ro"])
                 for s0 in range(0, n, args.seg):

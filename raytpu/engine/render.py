@@ -346,12 +346,24 @@ def _sorted_query(fn, pack, ro, rd, tmin, tmax, alive, returns_hit):
         )
         return blocked_u == 1
     if mode == "payload":
-        (_, ox, oy, oz, dx, dy, dz, tm, si) = jax.lax.sort(
-            (key, ro[:, 0], ro[:, 1], ro[:, 2],
-             rd[:, 0], rd[:, 1], rd[:, 2],
-             jnp.broadcast_to(tmax, (r,)), idx),
-            num_keys=1,
-        )
+        if returns_hit:
+            # closest queries carry only the alive/dead bit in tmax
+            # (F32_MAX / -inf, see the bounce-step callers) — derive it
+            # from the sorted key instead of paying a payload column
+            DEAD = jnp.int32(1 << (3 * _morton_bits() + 3))
+            (key_s, ox, oy, oz, dx, dy, dz, si) = jax.lax.sort(
+                (key, ro[:, 0], ro[:, 1], ro[:, 2],
+                 rd[:, 0], rd[:, 1], rd[:, 2], idx),
+                num_keys=1,
+            )
+            tm = jnp.where(key_s == DEAD, -jnp.inf, F32_MAX)
+        else:
+            (_, ox, oy, oz, dx, dy, dz, tm, si) = jax.lax.sort(
+                (key, ro[:, 0], ro[:, 1], ro[:, 2],
+                 rd[:, 0], rd[:, 1], rd[:, 2],
+                 jnp.broadcast_to(tmax, (r,)), idx),
+                num_keys=1,
+            )
         so = jnp.stack([ox, oy, oz], axis=-1)
         sd = jnp.stack([dx, dy, dz], axis=-1)
         out = fn(so, sd, tmin, tm)
@@ -755,10 +767,14 @@ def _trace_paths(
             and not os.environ.get("RAYTPU_B0S_NOSORT"),
             use_mixed_query=False,
             defer_nee=use_mixed,
-            # RAYTPU_B0_STRAND=1 routes the primary + first-shadow waves
-            # to the strand kernel as well (A/B: small scenes pay the
-            # packet kernel's per-visit scalar cost on every wave)
-            use_bounce_pair=bool(os.environ.get("RAYTPU_B0_STRAND")),
+            # primary + first-shadow waves ride the strand pair too: with
+            # the persistent kernel it beats the packet kernel even on
+            # coherent b0 waves (1080p headline 740.5 -> 725.6 ms,
+            # docs/PROFILE_r3.md). RAYTPU_B0_STRAND=0 restores the packet
+            # kernel for A/Bs.
+            use_bounce_pair=(
+                os.environ.get("RAYTPU_B0_STRAND", "1") != "0"
+            ),
         )
         carry, n_rays = _guarded(step0, carry, n_rays)
     if bounces > 1:
@@ -1148,8 +1164,11 @@ def _auto_tile_rows(config: RenderConfig, n_tris: int) -> int:
         rows = budget // (config.width * min(n_tris, 512))
     else:
         # BVH/packet path: per-ray state only; bigger tiles amortise sorts
-        # and per-wave overheads (1080p frame: 2.9s -> 2.2s vs 2^18 rays)
-        rows = (1 << 20) // config.width
+        # and per-wave overheads (1080p frame: 2.9s -> 2.2s vs 2^18 rays;
+        # 2^21 takes the whole 1080p frame in ONE tile: 792 -> 740 ms,
+        # docs/PROFILE_r3.md — per-ray state is ~100 B so a 2M-ray tile
+        # holds ~200 MB, well under HBM)
+        rows = (1 << 21) // config.width
     return int(np.clip(rows, 1, config.height))
 
 
