@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Captured-wave A/B harness for the persistent strand kernel.
+
+Times ``strand_query_persistent`` (and the block ``strand_query`` for
+reference) on the committed engine waves, median of chained repeats with
+the RPC floor subtracted — the committed replacement for the round-3
+/tmp scripts that died with the VM. Every persistent-kernel claim in
+docs/PROFILE_r3.md should cite this tool.
+
+    python benchmarks/strand_ab.py --waves b1c b2c b2s b3c \
+        [--walkers 128] [--service-k 16] [--flush 0.75] [--block] \
+        [--repeats 5] [--check]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("RAYTPU_CACHE", os.path.expanduser("~/.raytpu_jaxcache")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tris", type=int, default=250_000)
+    ap.add_argument("--waves", nargs="*", default=["b1c", "b2c", "b2s", "b3c"])
+    ap.add_argument("--walkers", type=int, default=128)
+    ap.add_argument("--service-k", type=int, default=16)
+    ap.add_argument("--flush", type=float, default=0.75)
+    ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--smem-cur", action="store_true",
+                    help="fetch indices from the SMEM mirror of cur_s")
+    ap.add_argument("--smem-pend", action="store_true",
+                    help="deferred leaf phase with SMEM pend mirror")
+    ap.add_argument("--inner", type=int, default=8,
+                    help="device-side chained repeats per timing (waves "
+                         "are ~RPC-floor-sized; chaining is the only "
+                         "trustworthy sub-50ms timing through the tunnel)")
+    ap.add_argument("--block", action="store_true",
+                    help="also time the block strand kernel")
+    ap.add_argument("--check", action="store_true",
+                    help="assert persistent == block results per wave")
+    args = ap.parse_args()
+
+    import bench
+    from benchmarks.waves import engine_sort, load_wave
+    from raytpu.kernels.strand import strand_query
+    from raytpu.kernels.strand_persistent import strand_query_persistent
+
+    _, pack = bench._cached_atrium(args.tris)
+    tree = pack.bvh.strand_rows
+    leaves = pack.bvh.leaf_tris
+
+    # RPC floor: cheapest possible device round-trip
+    @jax.jit
+    def probe(x):
+        return x + 1.0
+
+    float(probe(jnp.float32(0)))
+    floor = min(
+        _timed(lambda: float(probe(jnp.float32(i)))) for i in range(6)
+    )
+    log(f"[ab] RPC floor {floor * 1e3:.1f} ms")
+
+    print("| wave | kernel | ms | Mrays/s |")
+    print("|---|---|---|---|")
+    for name in args.waves:
+        w = load_wave(name)
+        any_hit = w["kind"] == "shadow"
+        ro, rd, tmax = engine_sort(pack, w["ro"], w["rd"], w["tmax"])
+        n = ro.shape[0]
+        tmin = float(w["tmin"])
+
+        def persist_q(tm):
+            return strand_query_persistent(
+                tree, leaves, ro[:, 0], ro[:, 1], ro[:, 2],
+                rd[:, 0], rd[:, 1], rd[:, 2], tm,
+                tmin=tmin, any_hit=any_hit,
+                walkers=args.walkers, service_k=args.service_k,
+                flush_occ=args.flush, smem_cur=args.smem_cur,
+                smem_pend=args.smem_pend,
+            )
+
+        def block_q(tm):
+            return strand_query(
+                tree, leaves, ro[:, 0], ro[:, 1], ro[:, 2],
+                rd[:, 0], rd[:, 1], rd[:, 2], tm,
+                tmin=tmin, any_hit=any_hit,
+            )
+
+        arms = [("persist", persist_q)]
+        if args.block or args.check:
+            arms.append(("block", block_q))
+        outs = {}
+        for label, q in arms:
+            outs[label] = tuple(np.asarray(x) for x in q(tmax))
+
+            @jax.jit
+            def chained(tm, _q=q):
+                t = tri = None
+                for _ in range(args.inner):
+                    t, tri = _q(tm)
+                    # data-dependency chain: a zero perturbation of tmax
+                    # derived from the previous output serializes repeats
+                    tm = tm + (t[0] + tri[0]).astype(jnp.float32) * 0.0
+                return t, tri
+
+            jax.block_until_ready(chained(tmax))  # compile + warm
+            times = []
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                jax.block_until_ready(chained(tmax))
+                times.append(
+                    (time.perf_counter() - t0 - floor) / args.inner
+                )
+            dt = float(np.median(times))
+            mrays = n / dt / 1e6
+            print(f"| {name} | {label} | {dt * 1e3:7.2f} | {mrays:7.1f} |",
+                  flush=True)
+        if args.check and "block" in outs:
+            pt, ptri = outs["persist"]
+            bt, btri = outs["block"]
+            assert (ptri == btri).all(), f"{name}: tri mismatch"
+            if not any_hit:
+                live = ptri >= 0
+                assert (pt[live] == bt[live]).all(), f"{name}: t mismatch"
+            log(f"[ab] {name}: persistent == block OK")
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    main()

@@ -51,9 +51,13 @@ def decode_tree(rows: np.ndarray, n_nodes: int):
     return out
 
 
-def walk_strand(tree_o, leaf, ro, rd, tmax, tmin, any_hit):
+def walk_strand(tree_o, leaf, ro, rd, tmax, tmin, any_hit, rowstats=None):
     """One strand (S rays) through one octant threading; returns
-    (steps, leaf_visits)."""
+    (steps, leaf_visits). With ``rowstats`` (a dict), also counts
+    transitions whose next node shares the current fetch row
+    (next//2 == cur//2) or a 2-row window (next//4 == cur//4) — sizes
+    the speculative multi-step idea (process the co-resident node in
+    the same iteration, no extra fetch)."""
     bmin, bmax, hit, miss = tree_o
     inv = 1.0 / np.where(rd == 0.0, np.float32(1e-36), rd)
     neg = inv < 0.0
@@ -97,11 +101,18 @@ def walk_strand(tree_o, leaf, ro, rd, tmax, tmin, any_hit):
                 else:
                     okh = ok & (t >= tmin) & (t < best_t)
                     best_t = np.where(okh, t, best_t)
-            cur = miss[cur]
+            nxt = miss[cur]
         elif h:
-            cur = hit[cur]
+            nxt = hit[cur]
         else:
-            cur = miss[cur]
+            nxt = miss[cur]
+        if rowstats is not None and nxt >= 0:
+            rowstats["trans"] = rowstats.get("trans", 0) + 1
+            if nxt // 2 == cur // 2:
+                rowstats["row2"] = rowstats.get("row2", 0) + 1
+            if nxt // 4 == cur // 4:
+                rowstats["row4"] = rowstats.get("row4", 0) + 1
+        cur = nxt
         if any_hit and bool((blocked | (tmax < 0)).all()):
             break
     return steps, leafs
@@ -189,6 +200,15 @@ def main():
                     help="skip the coherence sort entirely: strands = 128 "
                          "consecutive rays of the engine's pixel-block "
                          "order (sizes what the sort buys in walk steps)")
+    ap.add_argument("--rowstats", action="store_true",
+                    help="count fetch-row-local transitions (sizes the "
+                         "speculative multi-step: next//2==cur//2 needs "
+                         "no extra fetch)")
+    ap.add_argument("--order-from", default=None,
+                    help="sort this wave by ANOTHER wave's key (e.g. walk "
+                         "b2s in b2c's sorted order — models the "
+                         "resort-lite scheme where the shadow wave rides "
+                         "the closest wave's sort for free)")
     args = ap.parse_args()
 
     import jax
@@ -217,6 +237,24 @@ def main():
                 ro = np.asarray(w["ro"], np.float32)
                 rd = np.asarray(w["rd"], np.float32)
                 tmax = np.asarray(w["tmax"], np.float32)
+            elif args.order_from:
+                # waves are pixel-aligned bands of the same tile: apply
+                # the permutation induced by sorting the OTHER wave's key
+                import jax.numpy as jnp
+
+                from raytpu.engine.render import _ray_sort_key
+
+                ow = load_wave(args.order_from)
+                n = min(len(w["ro"]), len(ow["ro"]))
+                okey = np.asarray(_ray_sort_key(
+                    pack, jnp.asarray(ow["ro"][:n]),
+                    jnp.asarray(ow["rd"][:n]),
+                    jnp.asarray(ow["tmax"][:n]) >= 0,
+                ))
+                perm = np.argsort(okey, kind="stable")
+                ro = np.asarray(w["ro"][:n], np.float32)[perm]
+                rd = np.asarray(w["rd"][:n], np.float32)[perm]
+                tmax = np.asarray(w["tmax"][:n], np.float32)[perm]
             elif args.seg:
                 parts = []
                 n = len(w["ro"])
@@ -238,6 +276,7 @@ def main():
                     n_str = min(n_str, max(args.max_rays // S, 1))
                 steps = np.zeros(n_str, np.int64)
                 leafs = np.zeros(n_str, np.int64)
+                rstats = {} if args.rowstats else None
                 for i in range(n_str):
                     sl = slice(i * S, (i + 1) * S)
                     if (tmax[sl] < 0).all():
@@ -249,9 +288,15 @@ def main():
                     )
                     steps[i], leafs[i] = walk_strand(
                         tree[o], leaf, ro[sl], rd[sl], tmax[sl],
-                        np.float32(w["tmin"]), any_hit,
+                        np.float32(w["tmin"]), any_hit, rstats,
                     )
                 per_ray = steps.sum() / max(n_str * S, 1)
+                if rstats:
+                    tr = max(rstats.get("trans", 1), 1)
+                    print(f"{name} rowstats: trans={tr} "
+                          f"row2={rstats.get('row2', 0) / tr:.3f} "
+                          f"row4={rstats.get('row4', 0) / tr:.3f}",
+                          flush=True)
                 line = (f"{name} bits={bits} S={S}: strands={n_str} "
                         f"steps/ray={per_ray:.2f} "
                         f"steps mean={steps.mean():.0f} "

@@ -366,16 +366,47 @@ def _sorted_query(fn, pack, ro, rd, tmin, tmax, alive, returns_hit):
             )
         so = jnp.stack([ox, oy, oz], axis=-1)
         sd = jnp.stack([dx, dy, dz], axis=-1)
-        out = fn(so, sd, tmin, tm)
+
+        def run_at(p):
+            """Query only the live prefix of the sorted wave (the
+            in-sort parks dead lanes at the tail): a dead lane's kernel
+            output is always tri = -1 / blocked = False, so padding the
+            tail with exactly those values is bit-identical to tracing
+            it. Each tier is a separate compiled kernel size; lax.cond
+            picks one per execution (RAYTPU_COMPACT knob)."""
+            res = fn(so[:p], sd[:p], tmin, tm[:p])
+            if returns_hit:
+                return jnp.concatenate(
+                    [res.tri, jnp.full((r - p,), -1, jnp.int32)]
+                ) if p < r else res.tri
+            return (jnp.concatenate(
+                [res.astype(jnp.int32), jnp.zeros((r - p,), jnp.int32)]
+            ) if p < r else res.astype(jnp.int32))
+
+        tiers = [
+            p for p in (-(-(r // 4) // 128) * 128,
+                        -(-(r // 2) // 128) * 128)
+            if 0 < p < r
+        ] if (os.environ.get("RAYTPU_COMPACT", "0") != "0"
+              and r >= 512) else []
+        if tiers:
+            n_alive = jnp.sum(alive.astype(jnp.int32))
+            branch = lambda: run_at(r)  # noqa: E731 — innermost: full
+            for p in sorted(tiers, reverse=True):  # wrap half, then quarter
+                def branch(p=p, inner=branch):
+                    return jax.lax.cond(
+                        n_alive <= p, lambda: run_at(p), inner
+                    )
+            out_i = branch()
+        else:
+            out_i = run_at(r)
         if returns_hit:
-            _, tri_u = jax.lax.sort((si, out.tri), num_keys=1)
+            _, tri_u = jax.lax.sort((si, out_i), num_keys=1)
             from ..kernels.intersect import Hit
 
             return Hit(t=jnp.zeros_like(tri_u, jnp.float32), tri=tri_u,
                        valid=tri_u >= 0)
-        _, blocked_u = jax.lax.sort(
-            (si, out.astype(jnp.int32)), num_keys=1
-        )
+        _, blocked_u = jax.lax.sort((si, out_i), num_keys=1)
         return blocked_u == 1
     _, si = jax.lax.sort((key, idx), num_keys=1)
     so = ro[si]
@@ -742,6 +773,15 @@ def _trace_paths(
         if eager:
             if bool(jnp.any(carry[5])):
                 carry = step(carry)
+        elif os.environ.get("RAYTPU_NO_GUARD"):
+            # A/B knob: a bounce step over an all-dead carry is a bit-exact
+            # no-op (tmax=-inf kills every query; rand_masked advances no
+            # lane; where(bounce_on) keeps state), so the cond guard is an
+            # optimisation only — and lax.cond forces operand/result
+            # buffer copies every bounce (the pred[2M] memory-space
+            # copies in the frame profile) while its skip almost never
+            # fires on the headline frame.
+            carry = step(carry)
         else:
             carry = jax.lax.cond(jnp.any(carry[5]), step, lambda c: c, carry)
         if n_rays is not None:

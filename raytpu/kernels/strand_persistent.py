@@ -70,9 +70,14 @@ def _persistent_kernel(
     sid_smem,  # SMEM (W,) i32 — current strand id per walker
     flags_smem,  # SMEM (W,) i32 — 0 idle, 1 serviced+refilled,
     #              2 serviced+parked
-    ctr_smem,  # SMEM (2,) i32 — [next strand, walkers parked]
+    ctr_smem,  # SMEM (3,) i32 — [next strand, walkers parked,
+    #            deferred-leaf pending]
+    cur_smem,  # SMEM (W,1) i32 — scalar mirror of cur_s (fetch indices)
+    pend_smem,  # SMEM (W,1) i32 — scalar mirror of pend_s (leaf rows)
     sem_in,  # DMA, shared by all in-copies (waits match starts 1:1)
     sem_out,  # DMA, shared by all out-copies
+    sem_cur,  # DMA for the per-step cur_s -> cur_smem mirror copy
+    sem_pend,  # DMA for the per-flush pend_s -> pend_smem mirror copy
     *,
     n_strands: int,
     tmin: float,
@@ -83,6 +88,8 @@ def _persistent_kernel(
     flush_occ: float,
     mixed: bool,
     shadow_tmin: float,
+    smem_cur: bool,
+    smem_pend: bool,
 ):
     W = walkers
     # mixed mode: rays8 row 7 carries a per-LANE any-hit flag (the
@@ -127,6 +134,8 @@ def _persistent_kernel(
         btr_s[w : w + 1, :] = jnp.full((1, 128), -1, jnp.int32)
         one = jnp.full((1, 1), 1, jnp.int32)
         cur_s[w : w + 1, 0:1] = one * 0
+        if smem_cur:
+            cur_smem[w, 0] = 0
         qn_s[w : w + 1, 0:1] = one * 0
         pend_s[w : w + 1, 0:1] = -one
         act_s[w : w + 1, 0:1] = one
@@ -135,6 +144,7 @@ def _persistent_kernel(
     n0 = min(W, n_strands)
     ctr_smem[0] = n0
     ctr_smem[1] = W - n0
+    ctr_smem[2] = 0
     for w in range(W):
         flags_smem[w] = 0
         if w < n0:
@@ -149,6 +159,8 @@ def _persistent_kernel(
             one = jnp.full((1, 1), 1, jnp.int32)
             act_s[w : w + 1, 0:1] = one * 0
             cur_s[w : w + 1, 0:1] = -one
+            if smem_cur:
+                cur_smem[w, 0] = -1
             qn_s[w : w + 1, 0:1] = one * 0
             pend_s[w : w + 1, 0:1] = -one
             # inactive rows still flow through the vector step: give them
@@ -182,7 +194,10 @@ def _persistent_kernel(
         (identical op order to kernels/strand.py leaf_phase)."""
         pend = pend_s[...]
         for w in range(W):
-            lr = jnp.maximum(pend_s[w, 0], 0)
+            if smem_pend:
+                lr = jnp.maximum(pend_smem[w, 0], 0)
+            else:
+                lr = jnp.maximum(pend_s[w, 0], 0)
             sleaf_s[w : w + 1, 0 : leaf_ref.shape[1]] = leaf_ref[
                 pl.ds(lr, 1), :
             ]
@@ -247,10 +262,36 @@ def _persistent_kernel(
 
     def body(carry):
         it, _ = carry
+        # 0) deferred leaf phase (smem_pend): the previous iteration's
+        #    flush popped the queue heads into pend_s and started the
+        #    SMEM mirror copy; it lands here, one iteration later, so the
+        #    mirror DMA overlapped that iteration's service instead of
+        #    stalling the MT pass on 128 vector->scalar reads. Deferring
+        #    by one step only delays best-t shrink (committed sets are
+        #    unchanged — same argument as the occupancy flush); the
+        #    service guard below keeps popped-but-untested walkers from
+        #    refilling, so staged results always include every leaf.
+        if smem_pend:
+            @pl.when(ctr_smem[2] == 1)
+            def _():
+                pltpu.make_async_copy(pend_s, pend_smem, sem_pend).wait()
+                leaf_phase()
+                pend_s[...] = jnp.full((W, 1), -1, jnp.int32)
+                ctr_smem[2] = 0
+
         # 1) fetch + batched octant roll (the strand kernel's multiroll
         #    fetch: amounts are (c%2)*64 + octant*8, all multiples of 8)
+        #    With smem_cur the fetch indices come from an SMEM mirror of
+        #    cur_s (DMA'd at the previous step, overlapped with the
+        #    queue/flush phases): the scalar unit reads SMEM in a cycle
+        #    or two, where reading cur_s[w, 0] from VMEM pays a
+        #    vector->scalar transfer per walker per step — 128 of them
+        #    serialized was the measured ~40-cycle/walker-step floor.
         for w in range(W):
-            c = jnp.maximum(cur_s[w, 0], 0)
+            if smem_cur:
+                c = jnp.maximum(cur_smem[w, 0], 0)
+            else:
+                c = jnp.maximum(cur_s[w, 0], 0)
             snode_s[w : w + 1, :] = tree_ref[pl.ds(c // 2, 1), :]
         cur = cur_s[...]
         S = snode_s[...]
@@ -315,6 +356,12 @@ def _persistent_kernel(
         nxt = jnp.where(hit_any & jnp.logical_not(IS_LEAF), HITL, MISSL)
         nxt = jnp.where(ACT, nxt, jnp.int32(-1))
         cur_s[...] = nxt
+        if smem_cur:
+            # mirror the new fetch indices into SMEM; the copy overlaps
+            # the queue/flush phases and is waited before service (whose
+            # install() scalar-writes cur_smem AFTER the wait, so the
+            # refill reset can never be overwritten by a stale copy)
+            pltpu.make_async_copy(cur_s, cur_smem, sem_cur).start()
         # 4) enqueue leaf visits (LIFO insert at lane 0)
         enq = pend >= 0
         q = queue_s[...]
@@ -346,7 +393,14 @@ def _persistent_kernel(
             pend_s[...] = jnp.where(popped, qf[:, 0:1], -1)
             queue_s[...] = jnp.where(popped, pltpu.roll(qf, 127, 1), qf)
             qn_s[...] = qnf - popped.astype(jnp.int32)
-            leaf_phase()
+            if smem_pend:
+                pltpu.make_async_copy(pend_s, pend_smem, sem_pend).start()
+                ctr_smem[2] = 1
+            else:
+                leaf_phase()
+
+        if smem_cur:
+            pltpu.make_async_copy(cur_s, cur_smem, sem_cur).wait()
 
         # 6) service: batch-refill walkers whose strand completed (walk
         #    terminated AND leaf queue drained). Fires when >= service_k
@@ -356,6 +410,10 @@ def _persistent_kernel(
         cur_now = cur_s[...]
         qn_now = qn_s[...]
         need_v = (cur_now < 0) & (qn_now == 0) & (act_s[...] == 1)
+        if smem_pend:
+            # a popped-but-untested walker (deferred leaf in flight) must
+            # not refill: its staged result would miss the last leaf
+            need_v = need_v & (pend_s[...] < 0)
         n_need = jnp.sum(need_v.astype(jnp.int32))
         others_busy = jnp.any((cur_now >= 0) | (qn_now > 0))
         do_service = (n_need >= service_k) | (
@@ -371,6 +429,12 @@ def _persistent_kernel(
                     (cur_s[w, 0] < 0) & (qn_s[w, 0] == 0)
                     & (act_s[w, 0] == 1)
                 )
+                if smem_pend:
+                    # read pend_s (VMEM), NOT the mirror: the mirror's
+                    # DMA from this iteration's flush may not have landed
+                    # yet. The slow vector->scalar read is fine here —
+                    # service fires once per ~service_k walker refills.
+                    needs = needs & (pend_s[w, 0] < 0)
 
                 @pl.when(needs)
                 def _(w=w):
@@ -457,7 +521,8 @@ def _persistent_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("tmin", "any_hit", "interpret", "walkers",
-                     "service_k", "flush_occ", "mixed", "shadow_tmin"),
+                     "service_k", "flush_occ", "mixed", "shadow_tmin",
+                     "smem_cur", "smem_pend"),
 )
 def strand_query_persistent(
     tree_rows,
@@ -474,6 +539,8 @@ def strand_query_persistent(
     smask=None,
     mixed: bool = False,
     shadow_tmin: float = 0.0,
+    smem_cur: bool = False,
+    smem_pend: bool = False,
 ):
     """Trace R rays (coherence-sorted; consecutive 128 = one strand)
     with W persistent walkers refilling from an on-device strand queue.
@@ -515,6 +582,8 @@ def strand_query_persistent(
         flush_occ=flush_occ,
         mixed=mixed,
         shadow_tmin=shadow_tmin,
+        smem_cur=smem_cur,
+        smem_pend=smem_pend,
         # generous step bound: every strand could walk every node twice
         # before this trips (a debugging backstop, not a scheduler limit)
         max_iters=max(1_000_000, n_strands * 64),
@@ -560,7 +629,11 @@ def strand_query_persistent(
             pltpu.VMEM((walkers, 128), jnp.float32),  # any-hit flags
             pltpu.SMEM((walkers,), jnp.int32),  # strand id
             pltpu.SMEM((walkers,), jnp.int32),  # have_out/refilled
-            pltpu.SMEM((2,), jnp.int32),  # next strand / parked
+            pltpu.SMEM((3,), jnp.int32),  # next strand / parked / leaf
+            pltpu.SMEM((walkers, 1), jnp.int32),  # cur mirror
+            pltpu.SMEM((walkers, 1), jnp.int32),  # pend mirror
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
