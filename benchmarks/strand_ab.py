@@ -50,6 +50,9 @@ def main():
                     help="fetch indices from the SMEM mirror of cur_s")
     ap.add_argument("--smem-pend", action="store_true",
                     help="deferred leaf phase with SMEM pend mirror")
+    ap.add_argument("--pipe", action="store_true",
+                    help="software-pipelined node fetch (fetch for step "
+                         "k+1 issues before step k's queue/flush work)")
     ap.add_argument("--inner", type=int, default=8,
                     help="device-side chained repeats per timing (waves "
                          "are ~RPC-floor-sized; chaining is the only "
@@ -96,7 +99,7 @@ def main():
                 tmin=tmin, any_hit=any_hit,
                 walkers=args.walkers, service_k=args.service_k,
                 flush_occ=args.flush, smem_cur=args.smem_cur,
-                smem_pend=args.smem_pend,
+                smem_pend=args.smem_pend, pipe=args.pipe,
             )
 
         def block_q(tm):

@@ -486,6 +486,7 @@ def make_strand_intersectors(pack, tmin: float = 0.001,
                                              "16")),
                 flush_occ=float(os.environ.get("RAYTPU_STRAND_FLUSH",
                                                "0.75")),
+                pipe=os.environ.get("RAYTPU_STRAND_PIPE", "0") != "0",
             )
         return strand_query(
             tree, leaves,
@@ -535,6 +536,7 @@ def make_strand_mixed_query(pack, interpret: bool = False):
             tmax, tmin=tmin, interpret=interpret,
             walkers=walkers, service_k=service_k, flush_occ=flush_occ,
             smask=smask, mixed=True, shadow_tmin=shadow_tmin,
+            pipe=os.environ.get("RAYTPU_STRAND_PIPE", "0") != "0",
         )
 
     return query

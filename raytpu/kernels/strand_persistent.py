@@ -90,6 +90,7 @@ def _persistent_kernel(
     shadow_tmin: float,
     smem_cur: bool,
     smem_pend: bool,
+    pipe: bool,
 ):
     W = walkers
     # mixed mode: rays8 row 7 carries a per-LANE any-hit flag (the
@@ -139,6 +140,11 @@ def _persistent_kernel(
         qn_s[w : w + 1, 0:1] = one * 0
         pend_s[w : w + 1, 0:1] = -one
         act_s[w : w + 1, 0:1] = one
+        if pipe:
+            # pipelined fetch: the body consumes snode_s directly, so a
+            # refilled walker's first node row (cur = 0 -> tree row 0)
+            # is staged here instead of at body start
+            snode_s[w : w + 1, :] = tree_ref[pl.ds(0, 1), :]
 
     # ---- initial fill ----
     n0 = min(W, n_strands)
@@ -179,6 +185,10 @@ def _persistent_kernel(
             idx_s[w : w + 1, :] = jnp.ones((1, 128))
             idy_s[w : w + 1, :] = jnp.ones((1, 128))
             idz_s[w : w + 1, :] = jnp.ones((1, 128))
+            if pipe:
+                # never-active rows still flow through the vector step;
+                # stage any real row (ACT masks every consequence)
+                snode_s[w : w + 1, :] = tree_ref[pl.ds(0, 1), :]
     for w in range(n0):
         pltpu.make_async_copy(
             rays_ref.at[pl.ds(8 * w, 8), :],
@@ -287,12 +297,13 @@ def _persistent_kernel(
         #    or two, where reading cur_s[w, 0] from VMEM pays a
         #    vector->scalar transfer per walker per step — 128 of them
         #    serialized was the measured ~40-cycle/walker-step floor.
-        for w in range(W):
-            if smem_cur:
-                c = jnp.maximum(cur_smem[w, 0], 0)
-            else:
-                c = jnp.maximum(cur_s[w, 0], 0)
-            snode_s[w : w + 1, :] = tree_ref[pl.ds(c // 2, 1), :]
+        if not pipe:
+            for w in range(W):
+                if smem_cur:
+                    c = jnp.maximum(cur_smem[w, 0], 0)
+                else:
+                    c = jnp.maximum(cur_s[w, 0], 0)
+                snode_s[w : w + 1, :] = tree_ref[pl.ds(c // 2, 1), :]
         cur = cur_s[...]
         S = snode_s[...]
         RDX0 = rdx_s[:, 0:1]
@@ -356,6 +367,17 @@ def _persistent_kernel(
         nxt = jnp.where(hit_any & jnp.logical_not(IS_LEAF), HITL, MISSL)
         nxt = jnp.where(ACT, nxt, jnp.int32(-1))
         cur_s[...] = nxt
+        if pipe:
+            # pipelined fetch for the NEXT iteration: the 128 serialized
+            # scalar reads + row copies issue here, BEFORE the enqueue /
+            # flush vector work, so the scalar unit's walk down cur_s
+            # overlaps the VPU's queue rolls and (on flush steps) the
+            # whole 8-triangle MT pass instead of blocking the body
+            # prologue. install() re-stages row 0 for refilled walkers,
+            # so service (which runs after this) stays consistent.
+            for w in range(W):
+                c = jnp.maximum(cur_s[w, 0], 0)
+                snode_s[w : w + 1, :] = tree_ref[pl.ds(c // 2, 1), :]
         if smem_cur:
             # mirror the new fetch indices into SMEM; the copy overlaps
             # the queue/flush phases and is waited before service (whose
@@ -522,7 +544,7 @@ def _persistent_kernel(
     jax.jit,
     static_argnames=("tmin", "any_hit", "interpret", "walkers",
                      "service_k", "flush_occ", "mixed", "shadow_tmin",
-                     "smem_cur", "smem_pend"),
+                     "smem_cur", "smem_pend", "pipe"),
 )
 def strand_query_persistent(
     tree_rows,
@@ -541,6 +563,7 @@ def strand_query_persistent(
     shadow_tmin: float = 0.0,
     smem_cur: bool = False,
     smem_pend: bool = False,
+    pipe: bool = False,
 ):
     """Trace R rays (coherence-sorted; consecutive 128 = one strand)
     with W persistent walkers refilling from an on-device strand queue.
@@ -584,6 +607,7 @@ def strand_query_persistent(
         shadow_tmin=shadow_tmin,
         smem_cur=smem_cur,
         smem_pend=smem_pend,
+        pipe=pipe,
         # generous step bound: every strand could walk every node twice
         # before this trips (a debugging backstop, not a scheduler limit)
         max_iters=max(1_000_000, n_strands * 64),
