@@ -320,9 +320,16 @@ def selftest() -> int:
     ok = True
     base = None
     for name, (closest, any_fn) in paths.items():
-        hit = jax.jit(closest)(ro, rd, jnp.float32(0.001), tmax)
+        # tmin rides as a Python float: the Pallas factories bake it and
+        # verify the per-call value at trace time (a traced tmin would
+        # raise — by design, VERDICT r3 item 6)
+        hit = jax.jit(
+            lambda ro, rd, tmax, c=closest: c(ro, rd, 0.001, tmax)
+        )(ro, rd, tmax)
         blocked = np.asarray(
-            jax.jit(any_fn)(ro, rd, jnp.float32(0.0), stmax)
+            jax.jit(
+                lambda ro, rd, tmax, a=any_fn: a(ro, rd, 0.0, tmax)
+            )(ro, rd, stmax)
         )
         t = np.asarray(hit.t)
         tri = np.asarray(hit.tri)

@@ -470,6 +470,116 @@ def _mixed_bounce_query(
     return hit, blocked
 
 
+def _shade_core(pack: ScenePack, ro, rd, hit, rng, active):
+    """The megakernel's per-bounce shading body (src/shader.wgsl:339-374
+    up to the shadow query): face-forward + hit point + base colour +
+    material dispatch + masked RNG draws + NEE light pick. Pure per-lane
+    math — safe to run on any permutation or prefix of a wave (lanes
+    outside ``active`` draw no RNG and contribute nothing). Returns a
+    dict with everything the caller needs to finish the bounce:
+    emissive_delta [R,4], att_mult [R,4], scattered/p [R,3], bounce_on,
+    ldir/dist/contrib (the deferred shadow ray), and the advanced rng."""
+    r = ro.shape[0]
+    pos, normal, uv, mat, row = _shade_inputs(pack, ro, rd, hit)
+    metallic, emission, ior = mat["metallic"], mat["emission"], mat["ior"]
+    tex_id, has_tex, m_color = mat["tex_id"], mat["has_tex"], mat["color"]
+
+    # face-forward normal (src/shader.wgsl:339-343)
+    front = _dot3(rd, normal) < 0.0
+    normal = jnp.where(front[:, None], normal, -normal)
+
+    # hit point with the w=0 translation-dropping quirk (:345)
+    p = _apply_linear(pack, row, pos) + normal * F32_EPSILON
+
+    # base colour: bilinear texture or factor (:349-353)
+    if pack.has_textures:
+        tex_rgba = sample_bilinear(
+            pack.tex_atlas, pack.tex_size, tex_id, uv
+        )
+        in_color = jnp.where(has_tex[:, None], tex_rgba, m_color)
+    else:
+        in_color = m_color
+
+    # --- material dispatch (:355-368) ---
+    is_emissive = active & (emission > 0.0)
+    is_metal = active & ~is_emissive & (metallic > 0.0)
+    is_mixed = active & ~is_emissive & ~(metallic > 0.0)
+
+    emissive_delta = jnp.where(
+        is_emissive[:, None], m_color * emission[:, None], 0.0
+    )
+
+    # metal: perfect mirror, roughness unused (:228-239)
+    d_dot_n = _dot3(rd, normal)[:, None]
+    scat_metal = rd - 2.0 * d_dot_n * normal
+    att_metal = in_color  # out_color / pdf with pdf = 1
+
+    # 50/50 diffuse-glass mix (:362-367); one rand for the choice
+    rng, r_mix = rngk.rand_masked(rng, is_mixed)
+    is_diffuse = is_mixed & (r_mix > 0.5)
+
+    # diffuse: cosine hemisphere in the quirky global-z frame (:212-226)
+    rng, u1 = rngk.rand_masked(rng, is_diffuse)
+    rng, u2 = rngk.rand_masked(rng, is_diffuse)
+    r_disk = jnp.sqrt(u1)
+    theta = 2.0 * PI * u2
+    dx = r_disk * jnp.cos(theta)
+    dy = r_disk * jnp.sin(theta)
+    dz = jnp.sqrt(1.0 - dx * dx - dy * dy)
+    dz = jnp.where(rd[:, 2] < 0.0, -dz, dz)
+    scat_diffuse = jnp.stack([dx, dy, dz], axis=-1)
+    pdf_diffuse = jnp.abs(rd[:, 2]) * INV_PI
+    att_diffuse = (in_color / PI) / pdf_diffuse[:, None]
+
+    # glass: the reference's refraction formula verbatim (:241-257),
+    # including `-(1.0 - |out_perp| * normal)` broadcasting 1.0 - vec3
+    uv_dir = _normalize(rd)
+    cos_theta = jnp.minimum(-_dot3(uv_dir, normal), 1.0)
+    out_perp = ior[:, None] * (uv_dir + cos_theta[:, None] * normal)
+    perp_len = jnp.sqrt(jnp.abs(_dot3(out_perp, out_perp)))
+    out_parallel = -(1.0 - perp_len[:, None] * normal)
+    scat_glass = out_perp + out_parallel
+    att_glass = in_color
+
+    half = jnp.float32(0.5)
+    att_mult = jnp.where(
+        is_metal[:, None],
+        att_metal,
+        jnp.where(
+            is_diffuse[:, None], att_diffuse * half, att_glass * half
+        ),
+    )
+    scattered = jnp.where(
+        is_metal[:, None],
+        scat_metal,
+        jnp.where(is_diffuse[:, None], scat_diffuse, scat_glass),
+    )
+    bounce_on = is_metal | is_mixed
+
+    # --- next-event estimation setup (:370-374) ---
+    rng, r_light = rngk.rand_masked(rng, bounce_on)
+    if pack.n_lights == 1:
+        lrow = jnp.broadcast_to(pack.light_table[0], (r, 8))
+    else:
+        li = jnp.clip(
+            (r_light * pack.n_lights_f).astype(jnp.int32), 0,
+            pack.n_lights - 1,
+        )
+        lrow = pack.light_table[li]
+    lpos = lrow[:, 0:3]
+    lcolor = lrow[:, 4:8]
+    to_light = lpos - p
+    dist = _norm3(to_light)
+    ldir = to_light / dist[:, None]
+    # radiance += (color / sqrt(dist)) / (1/N) — unattenuated (:372-374)
+    contrib = (lcolor / jnp.sqrt(dist)[:, None]) / (1.0 / pack.n_lights_f)
+    return dict(
+        rng=rng, p=p, scattered=scattered, att_mult=att_mult,
+        bounce_on=bounce_on, emissive_delta=emissive_delta,
+        ldir=ldir, dist=dist, contrib=contrib,
+    )
+
+
 def _trace_paths(
     pack: ScenePack, closest, any_hit, ro, rd, rng, bounces: int,
     count_mask=None, mask=None, sort_bounced=False, mixed_fn=None,
@@ -508,7 +618,6 @@ def _trace_paths(
     alive = zero_col[:, 0] == 0.0
     if mask is not None:
         alive = alive & mask
-    n_lights_f = pack.n_lights_f
     NEG_INF = jnp.float32(-jnp.inf)
 
     # sorted bounce waves route to the strand kernel when available (it
@@ -585,7 +694,7 @@ def _trace_paths(
             attenuation = jnp.stack([a0, a1, a2, a3], axis=-1)
             tmax = jnp.where(alive, F32_MAX, NEG_INF)
             hit = (b_closest if use_bounce_pair else closest)(
-                ro, rd, jnp.float32(0.001), tmax
+                ro, rd, 0.001, tmax
             )
         elif use_mixed_query:
             # continuation + previous bounce's deferred shadow rays in ONE
@@ -606,111 +715,27 @@ def _trace_paths(
             if use_sort:
                 hit = _sorted_query(
                     b_closest if use_bounce_pair else closest,
-                    pack, ro, rd, jnp.float32(0.001), tmax, alive,
+                    pack, ro, rd, 0.001, tmax, alive,
                     True,
                 )
             else:
                 hit = (b_closest if use_bounce_pair else closest)(
-                    ro, rd, jnp.float32(0.001), tmax
+                    ro, rd, 0.001, tmax
                 )
         active = alive & hit.valid
 
-        pos, normal, uv, mat, row = _shade_inputs(pack, ro, rd, hit)
-        metallic, emission, ior = mat["metallic"], mat["emission"], mat["ior"]
-        tex_id, has_tex, m_color = mat["tex_id"], mat["has_tex"], mat["color"]
+        sh = _shade_core(pack, ro, rd, hit, rng, active)
+        rng = sh["rng"]
+        p, scattered = sh["p"], sh["scattered"]
+        bounce_on = sh["bounce_on"]
+        ldir, dist, contrib = sh["ldir"], sh["dist"], sh["contrib"]
 
-        # face-forward normal (src/shader.wgsl:339-343)
-        front = _dot3(rd, normal) < 0.0
-        normal = jnp.where(front[:, None], normal, -normal)
-
-        # hit point with the w=0 translation-dropping quirk (:345)
-        p = _apply_linear(pack, row, pos) + normal * F32_EPSILON
-
-        # base colour: bilinear texture or factor (:349-353)
-        if pack.has_textures:
-            tex_rgba = sample_bilinear(
-                pack.tex_atlas, pack.tex_size, tex_id, uv
-            )
-            in_color = jnp.where(has_tex[:, None], tex_rgba, m_color)
-        else:
-            in_color = m_color
-
-        # --- material dispatch (:355-368) ---
-        is_emissive = active & (emission > 0.0)
-        is_metal = active & ~is_emissive & (metallic > 0.0)
-        is_mixed = active & ~is_emissive & ~(metallic > 0.0)
-
-        radiance = radiance + jnp.where(
-            is_emissive[:, None], m_color * emission[:, None], 0.0
-        )
-
-        # metal: perfect mirror, roughness unused (:228-239)
-        d_dot_n = _dot3(rd, normal)[:, None]
-        scat_metal = rd - 2.0 * d_dot_n * normal
-        att_metal = in_color  # out_color / pdf with pdf = 1
-
-        # 50/50 diffuse-glass mix (:362-367); one rand for the choice
-        rng, r_mix = rngk.rand_masked(rng, is_mixed)
-        is_diffuse = is_mixed & (r_mix > 0.5)
-
-        # diffuse: cosine hemisphere in the quirky global-z frame (:212-226)
-        rng, u1 = rngk.rand_masked(rng, is_diffuse)
-        rng, u2 = rngk.rand_masked(rng, is_diffuse)
-        r_disk = jnp.sqrt(u1)
-        theta = 2.0 * PI * u2
-        dx = r_disk * jnp.cos(theta)
-        dy = r_disk * jnp.sin(theta)
-        dz = jnp.sqrt(1.0 - dx * dx - dy * dy)
-        dz = jnp.where(rd[:, 2] < 0.0, -dz, dz)
-        scat_diffuse = jnp.stack([dx, dy, dz], axis=-1)
-        pdf_diffuse = jnp.abs(rd[:, 2]) * INV_PI
-        att_diffuse = (in_color / PI) / pdf_diffuse[:, None]
-
-        # glass: the reference's refraction formula verbatim (:241-257),
-        # including `-(1.0 - |out_perp| * normal)` broadcasting 1.0 - vec3
-        uv_dir = _normalize(rd)
-        cos_theta = jnp.minimum(-_dot3(uv_dir, normal), 1.0)
-        out_perp = ior[:, None] * (uv_dir + cos_theta[:, None] * normal)
-        perp_len = jnp.sqrt(jnp.abs(_dot3(out_perp, out_perp)))
-        out_parallel = -(1.0 - perp_len[:, None] * normal)
-        scat_glass = out_perp + out_parallel
-        att_glass = in_color
-
-        half = jnp.float32(0.5)
-        att_mult = jnp.where(
-            is_metal[:, None],
-            att_metal,
-            jnp.where(
-                is_diffuse[:, None], att_diffuse * half, att_glass * half
-            ),
-        )
-        scattered = jnp.where(
-            is_metal[:, None],
-            scat_metal,
-            jnp.where(is_diffuse[:, None], scat_diffuse, scat_glass),
-        )
-        bounce_on = is_metal | is_mixed
+        radiance = radiance + sh["emissive_delta"]
         attenuation = jnp.where(
-            bounce_on[:, None], attenuation * att_mult, attenuation
+            bounce_on[:, None], attenuation * sh["att_mult"], attenuation
         )
 
-        # --- next-event estimation (:370-374) ---
-        rng, r_light = rngk.rand_masked(rng, bounce_on)
-        if pack.n_lights == 1:
-            lrow = jnp.broadcast_to(pack.light_table[0], (r, 8))
-        else:
-            li = jnp.clip(
-                (r_light * n_lights_f).astype(jnp.int32), 0,
-                pack.n_lights - 1,
-            )
-            lrow = pack.light_table[li]
-        lpos = lrow[:, 0:3]
-        lcolor = lrow[:, 4:8]
-        to_light = lpos - p
-        dist = _norm3(to_light)
-        ldir = to_light / dist[:, None]
-        # radiance += (color / sqrt(dist)) / (1/N) — unattenuated (:372-374)
-        contrib = (lcolor / jnp.sqrt(dist)[:, None]) / (1.0 / n_lights_f)
+        # --- next-event estimation visibility (:370-374) ---
         if defer_nee:
             # the shadow query rides the NEXT bounce's mixed traversal (or
             # the final shadow-only query); the contribution value is fixed
@@ -721,7 +746,7 @@ def _trace_paths(
             if use_sort_shadow:
                 blocked = _sorted_query(
                     b_any if use_bounce_pair else any_hit,
-                    pack, p, ldir, jnp.float32(0.0), shadow_tmax,
+                    pack, p, ldir, 0.0, shadow_tmax,
                     bounce_on, False,
                 )
             else:
@@ -729,7 +754,7 @@ def _trace_paths(
                 # sorted order directly — its origins are the (clustered)
                 # hit points, so no second sort is paid
                 blocked = (b_any if use_bounce_pair else any_hit)(
-                    p, ldir, jnp.float32(0.0), shadow_tmax
+                    p, ldir, 0.0, shadow_tmax
                 )
             radiance = radiance + jnp.where(
                 (bounce_on & ~blocked)[:, None], contrib, 0.0
@@ -747,14 +772,150 @@ def _trace_paths(
             return ro, rd, rng, radiance, attenuation, bounce_on, new_pend
         return ro, rd, rng, radiance, attenuation, bounce_on
 
+    def compact_step(carry):
+        """RAYTPU_WAVE_MODE=compact: the ENTIRE bounce pipeline — closest
+        query, tri_row gather, shading, RNG draws, NEE shadow query — runs
+        on the LIVE PREFIX of the coherence-sorted wave only.
+
+        The reference's megakernel exits its bounce loop the moment a path
+        dies, so dead rays cost zero (/root/reference/src/shader.wgsl:331);
+        the wavefront engine previously paid full wave width through
+        shading and gathers every bounce even when the live fraction had
+        collapsed (~305 ms/frame of gathers + elementwise at the 1080p
+        headline, docs/PROFILE_r3.md). Here the bounce in-sort (which
+        already parks dead lanes at the tail) is reused as the compaction:
+        a lax.cond tier picks the smallest prefix covering every live
+        lane, everything runs at that width in sorted order, and the
+        results ride two <=9-operand unsorts back (the ~10-operand VMEM
+        sort-spill threshold, docs/PROFILE_r3.md "Sort spill, revisited").
+
+        Bit-identity with the query mode:
+        * per-lane math never depends on wave order or width (lowest-slot
+          kernel ties; rand_masked advances only masked lanes — dead
+          lanes outside the prefix would not have advanced anyway);
+        * the shadow query gets its own coherence sort at prefix width
+          (resort-lite — shading in the closest wave's order — was
+          REJECTED by the round-3 arithmetic: shadow steps/ray 1.13 vs
+          0.43, docs/PROFILE_r3.md);
+        * emissive and NEE radiance terms are per-lane DISJOINT (an
+          emissive hit terminates the path before NEE fires,
+          src/shader.wgsl:355-357), so summing them into one delta before
+          a single radiance add reassociates nothing.
+        """
+        ro, rd, rng, radiance, attenuation, alive = carry
+        key = _ray_sort_key(pack, ro, rd, alive)
+        idx = jax.lax.iota(jnp.int32, r)
+        DEAD = jnp.int32(1 << (3 * _morton_bits() + 3))
+        (key_s, ox, oy, oz, dx, dy, dz, rng_s, si) = jax.lax.sort(
+            (key, ro[:, 0], ro[:, 1], ro[:, 2],
+             rd[:, 0], rd[:, 1], rd[:, 2], rng, idx),
+            num_keys=1,
+        )
+        so = jnp.stack([ox, oy, oz], axis=-1)
+        sd = jnp.stack([dx, dy, dz], axis=-1)
+        alive_s = key_s != DEAD
+
+        def run_at(p):
+            sop, sdp = so[:p], sd[:p]
+            alivep = alive_s[:p]
+            tm = jnp.where(alivep, F32_MAX, NEG_INF)
+            hit = b_closest(sop, sdp, 0.001, tm)
+            active = alivep & hit.valid
+            sh = _shade_core(pack, sop, sdp, hit, rng_s[:p], active)
+            bounce_on = sh["bounce_on"]
+            shadow_tmax = jnp.where(bounce_on, sh["dist"], NEG_INF)
+            blocked = _sorted_query(
+                b_any, pack, sh["p"], sh["ldir"], 0.0,
+                shadow_tmax, bounce_on, False,
+            )
+            delta = sh["emissive_delta"][:, :3] + jnp.where(
+                (bounce_on & ~blocked)[:, None], sh["contrib"][:, :3], 0.0
+            )
+            mult = sh["att_mult"][:, :3]
+            nro = jnp.where(bounce_on[:, None], sh["p"], sop)
+            nrd = jnp.where(bounce_on[:, None], sh["scattered"], sdp)
+            cols = [delta[:, 0], delta[:, 1], delta[:, 2],
+                    mult[:, 0], mult[:, 1], mult[:, 2],
+                    nro[:, 0], nro[:, 1], nro[:, 2],
+                    nrd[:, 0], nrd[:, 1], nrd[:, 2],
+                    bounce_on.astype(jnp.int32), sh["rng"]]
+            if p < r:
+                # tail lanes are dead: zero delta, mult masked by the
+                # bounce flag, state passes through untouched
+                tails = [jnp.zeros((r - p,), jnp.float32)] * 6 + [
+                    so[p:, 0], so[p:, 1], so[p:, 2],
+                    sd[p:, 0], sd[p:, 1], sd[p:, 2],
+                    jnp.zeros((r - p,), jnp.int32), rng_s[p:],
+                ]
+                cols = [jnp.concatenate([c, t])
+                        for c, t in zip(cols, tails)]
+            return tuple(cols)
+
+        # prefix tiers: multiples of 256 covering r/16, r/4, r/2, r; a
+        # lax.cond chain picks the smallest tier holding every live lane
+        # (each tier is its own compiled pipeline — the live fraction
+        # collapses fast after bounce 1, so late bounces ride the small
+        # tiers). RAYTPU_COMPACT_DIV overrides the divisor list.
+        divs = [
+            int(d) for d in os.environ.get(
+                "RAYTPU_COMPACT_DIV", "16,4,2"
+            ).split(",") if int(d) > 1
+        ] if r >= 2048 else []
+        tiers = sorted({
+            min(-(-(r // d) // 256) * 256, r) for d in divs
+        } - {r})
+        n_alive = jnp.sum(alive.astype(jnp.int32))
+        if eager:
+            # wave capture runs outside jit; lax.cond would trace the
+            # branches (hiding real arrays from recording intersectors),
+            # so pick the tier concretely
+            p_pick = r
+            for p in tiers:
+                if bool(n_alive <= p):
+                    p_pick = p
+                    break
+            cols = run_at(p_pick)
+        else:
+            branch = lambda: run_at(r)  # noqa: E731 — innermost: full
+            for p in sorted(tiers, reverse=True):
+                def branch(p=p, inner=branch):
+                    return jax.lax.cond(
+                        n_alive <= p, lambda: run_at(p), inner
+                    )
+            cols = branch()
+
+        # restore original lane order: si is a permutation of iota, so
+        # two sorts keyed on it apply the exact inverse; splitting keeps
+        # both under the sort-spill operand threshold
+        (d0, d1, d2, m0, m1, m2, r0, r1, r2, e0, e1, e2, bon, rng_n) = cols
+        _, d0, d1, d2, m0, m1, m2 = jax.lax.sort(
+            (si, d0, d1, d2, m0, m1, m2), num_keys=1
+        )
+        _, r0, r1, r2, e0, e1, e2, bon, rng_n = jax.lax.sort(
+            (si, r0, r1, r2, e0, e1, e2, bon, rng_n), num_keys=1
+        )
+        alive_u = bon == 1
+        zero = jnp.zeros_like(d0)
+        radiance = radiance + jnp.stack([d0, d1, d2, zero], axis=-1)
+        attenuation = jnp.where(
+            alive_u[:, None],
+            attenuation * jnp.stack([m0, m1, m2, zero + 1.0], axis=-1),
+            attenuation,
+        )
+        ro = jnp.stack([r0, r1, r2], axis=-1)
+        rd = jnp.stack([e0, e1, e2], axis=-1)
+        return ro, rd, rng_n, radiance, attenuation, alive_u
+
     use_mixed = mixed_fn is not None and bounces > 0
-    # persistent sorted wave (RAYTPU_WAVE_MODE=resort): bounces 1+ carry
-    # the whole path state through one payload sort per bounce instead of
-    # sorting rays in and unsorting results out of each query
-    persistent = (
-        sort_bounced and not use_mixed
-        and os.environ.get("RAYTPU_WAVE_MODE", "query") == "resort"
-    )
+    # bounce-wave scheduling mode (RAYTPU_WAVE_MODE):
+    #   query   — per-query sort in / unsort out, full-width shading
+    #   resort  — one payload sort of the whole path state per bounce
+    #             (measured loss at full width, kept for A/B evidence)
+    #   compact — per-bounce in-sort reused as live-prefix compaction:
+    #             queries AND shading run at live width
+    wave_mode = os.environ.get("RAYTPU_WAVE_MODE", "query")
+    persistent = sort_bounced and not use_mixed and wave_mode == "resort"
+    compact = sort_bounced and not use_mixed and wave_mode == "compact"
     if use_mixed:
         z3 = jnp.zeros_like(ro)
         pend0 = (
@@ -829,17 +990,21 @@ def _trace_paths(
             carry = carry + (jax.lax.iota(jnp.int32, r),)
             if has_cmask:
                 carry = carry + (count_mask,)
-        stepb = partial(
-            bounce_step,
-            use_sort=(not use_mixed) and sort_bounced and not persistent,
-            use_sort_shadow=(
-                (not use_mixed) and sort_bounced and not persistent
-            ),
-            use_mixed_query=use_mixed,
-            defer_nee=use_mixed,
-            use_bounce_pair=True,
-            persistent_sort=persistent,
-        )
+        if compact:
+            stepb = compact_step
+        else:
+            stepb = partial(
+                bounce_step,
+                use_sort=(not use_mixed) and sort_bounced
+                and not persistent,
+                use_sort_shadow=(
+                    (not use_mixed) and sort_bounced and not persistent
+                ),
+                use_mixed_query=use_mixed,
+                defer_nee=use_mixed,
+                use_bounce_pair=True,
+                persistent_sort=persistent,
+            )
         count_in_carry = persistent and has_cmask
         if eager or os.environ.get("RAYTPU_UNROLL_BOUNCES"):
             for _ in range(1, bounces):
@@ -869,12 +1034,12 @@ def _trace_paths(
             shadow_tmax = jnp.where(p_on, p_dist, NEG_INF)
             if sort_bounced:
                 blocked = _sorted_query(
-                    last_any, pack, p_p, p_dir, jnp.float32(0.0),
+                    last_any, pack, p_p, p_dir, 0.0,
                     shadow_tmax, p_on, False,
                 )
             else:
                 blocked = last_any(
-                    p_p, p_dir, jnp.float32(0.0), shadow_tmax
+                    p_p, p_dir, 0.0, shadow_tmax
                 )
             return rad + jnp.where(
                 (p_on & ~blocked)[:, None], p_contrib, 0.0
@@ -915,7 +1080,7 @@ def _trace_paths(
 def _flat_shade(pack: ScenePack, closest, ro, rd):
     """raytpu extension: primary-hit base colour (BASELINE config 1).
     Not a reference mode; used for intersection benchmarks and debugging."""
-    hit = closest(ro, rd, jnp.float32(0.001), F32_MAX)
+    hit = closest(ro, rd, 0.001, F32_MAX)
     _, _, uv, mat, _ = _shade_inputs(pack, ro, rd, hit)
     if pack.has_textures:
         tex = sample_bilinear(pack.tex_atlas, pack.tex_size, mat["tex_id"],

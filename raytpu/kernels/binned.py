@@ -480,12 +480,15 @@ def make_binned_intersectors(pack, tmin: float = 0.001,
     signature, entirely over the binned path — the intersectors for scenes
     whose BVH exceeds the resident kernel's VMEM budget (treelet windows
     stream from HBM, nothing is resident). ``tmin`` is bound at factory
-    time like make_packet_intersectors."""
+    time like make_packet_intersectors (mismatching per-call values
+    raise)."""
     from .intersect import Hit
+    from .intersect_pallas import check_baked_tmin
 
     query = make_binned_query(pack, interpret=interpret, packet=packet)
 
     def closest(ro, rd, tmin_, tmax):
+        check_baked_tmin(tmin_, tmin, "binned closest")
         r = ro.shape[0]
         tmax_r = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
         t, tri = query(
@@ -495,6 +498,7 @@ def make_binned_intersectors(pack, tmin: float = 0.001,
         return Hit(t=t, tri=tri, valid=tri >= 0)
 
     def any_fn(ro, rd, tmin_, tmax):
+        check_baked_tmin(tmin_, 0.0, "binned any-hit")
         r = ro.shape[0]
         tmax_r = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
         _, tri = query(

@@ -557,6 +557,30 @@ def vmem_budget_ok(pack, budget_bytes: int = 100 * 1024 * 1024) -> bool:
     return nodes_bytes + leaf_bytes <= budget_bytes
 
 
+def check_baked_tmin(tmin_, baked: float, kind: str):
+    """Factory-built intersectors bake tmin at compile time; the per-call
+    ``tmin_`` argument exists only for the shared engine signature. This
+    guard turns a mismatching caller value from a silent wrong image into
+    a loud error (VERDICT r3 item 6). Zero runtime cost: it runs at trace
+    time on the concrete values the engine passes."""
+    import numpy as np
+
+    try:
+        val = float(tmin_)
+    except Exception as e:  # traced/abstract value — cannot verify
+        raise ValueError(
+            f"{kind}: tmin is baked at factory time ({baked}); pass a "
+            f"concrete Python float equal to it (got an abstract tracer "
+            f"— under jit even jnp.float32(x) constants trace; pass x)"
+        ) from e
+    if np.float32(val) != np.float32(baked):
+        raise ValueError(
+            f"{kind}: tmin is baked at factory time ({baked}); the "
+            f"per-call value {val} would be silently ignored — build new "
+            f"intersectors instead"
+        )
+
+
 def make_packet_intersectors(pack, tmin: float = 0.001,
                              interpret: bool = False,
                              packet: int = PACKET):
@@ -566,15 +590,16 @@ def make_packet_intersectors(pack, tmin: float = 0.001,
     tmin is bound at factory time (a Pallas compile-time constant): closest
     queries use ``tmin`` (the reference's 0.001, src/shader.wgsl:312-319),
     any-hit shadow queries use 0.0 (src/shader.wgsl:174-186). The per-call
-    ``tmin_`` argument exists only to satisfy the shared intersector
-    signature and is ignored — callers needing a different tmin must build
-    new intersectors."""
+    ``tmin_`` argument is checked against the baked value and raises on
+    mismatch — callers needing a different tmin must build new
+    intersectors."""
     from .intersect import Hit
 
     node8 = pack.bvh.node8_rows
     leaves = pack.bvh.leaf_tris
 
-    def closest(ro, rd, tmin_, tmax):  # tmin_ ignored; see factory docstring
+    def closest(ro, rd, tmin_, tmax):
+        check_baked_tmin(tmin_, tmin, "packet closest")
         r = ro.shape[0]
         tmax_r = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
         t, tri = packet_query(
@@ -587,6 +612,7 @@ def make_packet_intersectors(pack, tmin: float = 0.001,
         return Hit(t=t, tri=tri, valid=tri >= 0)
 
     def any_fn(ro, rd, tmin_, tmax):
+        check_baked_tmin(tmin_, 0.0, "packet any-hit")
         r = ro.shape[0]
         tmax_r = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
         _, tri = packet_query(

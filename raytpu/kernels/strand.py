@@ -448,13 +448,15 @@ def make_strand_intersectors(pack, tmin: float = 0.001,
 
     Like make_packet_intersectors, ``tmin`` binds at factory time
     (closest = 0.001, any-hit = 0.0 per src/shader.wgsl:174-186,312-319);
-    the per-call tmin_ argument is ignored.
+    the per-call tmin_ argument is checked against the baked value and
+    raises on mismatch (VERDICT r3 item 6).
 
     ``groups`` defaults to 16 (the round-3 sweep winner on captured
     atrium bounce waves); RAYTPU_STRAND_GROUPS overrides for sweeps."""
     import os
 
     from .intersect import Hit
+    from .intersect_pallas import check_baked_tmin
 
     if groups is None:
         groups = int(os.environ.get("RAYTPU_STRAND_GROUPS", "16"))
@@ -470,6 +472,12 @@ def make_strand_intersectors(pack, tmin: float = 0.001,
     # 2.3-2.8x everywhere. RAYTPU_STRAND_PERSISTENT=0 restores the block
     # kernel for A/Bs.
     persistent = os.environ.get("RAYTPU_STRAND_PERSISTENT", "1") != "0"
+    # all knobs bind at factory time (consistent toggle semantics:
+    # changing the env after the factory has run has no effect)
+    walkers_n = int(os.environ.get("RAYTPU_STRAND_WALKERS", "128"))
+    service_k = int(os.environ.get("RAYTPU_STRAND_SERVICE_K", "16"))
+    flush_occ = float(os.environ.get("RAYTPU_STRAND_FLUSH", "0.75"))
+    pipe = os.environ.get("RAYTPU_STRAND_PIPE", "0") != "0"
 
     def query(ro, rd, tmax_r, tmin_q, any_q):
         if persistent:
@@ -480,13 +488,10 @@ def make_strand_intersectors(pack, tmin: float = 0.001,
                 ro[:, 0], ro[:, 1], ro[:, 2],
                 rd[:, 0], rd[:, 1], rd[:, 2],
                 tmax_r, tmin=tmin_q, any_hit=any_q, interpret=interpret,
-                walkers=int(os.environ.get("RAYTPU_STRAND_WALKERS",
-                                           "128")),
-                service_k=int(os.environ.get("RAYTPU_STRAND_SERVICE_K",
-                                             "16")),
-                flush_occ=float(os.environ.get("RAYTPU_STRAND_FLUSH",
-                                               "0.75")),
-                pipe=os.environ.get("RAYTPU_STRAND_PIPE", "0") != "0",
+                walkers=walkers_n,
+                service_k=service_k,
+                flush_occ=flush_occ,
+                pipe=pipe,
             )
         return strand_query(
             tree, leaves,
@@ -496,13 +501,15 @@ def make_strand_intersectors(pack, tmin: float = 0.001,
             groups=groups,
         )
 
-    def closest(ro, rd, tmin_, tmax):  # tmin_ ignored; see docstring
+    def closest(ro, rd, tmin_, tmax):
+        check_baked_tmin(tmin_, tmin, "strand closest")
         r = ro.shape[0]
         tmax_r = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
         t, tri = query(ro, rd, tmax_r, tmin, False)
         return Hit(t=t, tri=tri, valid=tri >= 0)
 
     def any_fn(ro, rd, tmin_, tmax):
+        check_baked_tmin(tmin_, 0.0, "strand any-hit")
         r = ro.shape[0]
         tmax_r = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
         _, tri = query(ro, rd, tmax_r, 0.0, True)
@@ -527,6 +534,8 @@ def make_strand_mixed_query(pack, interpret: bool = False):
     walkers = int(os.environ.get("RAYTPU_STRAND_WALKERS", "128"))
     service_k = int(os.environ.get("RAYTPU_STRAND_SERVICE_K", "16"))
     flush_occ = float(os.environ.get("RAYTPU_STRAND_FLUSH", "0.75"))
+    # bound at factory time like every other knob (ADVICE r3)
+    pipe = os.environ.get("RAYTPU_STRAND_PIPE", "0") != "0"
 
     def query(ro, rd, tmax, smask, *, tmin: float, shadow_tmin: float):
         return strand_query_persistent(
@@ -536,7 +545,7 @@ def make_strand_mixed_query(pack, interpret: bool = False):
             tmax, tmin=tmin, interpret=interpret,
             walkers=walkers, service_k=service_k, flush_occ=flush_occ,
             smask=smask, mixed=True, shadow_tmin=shadow_tmin,
-            pipe=os.environ.get("RAYTPU_STRAND_PIPE", "0") != "0",
+            pipe=pipe,
         )
 
     return query

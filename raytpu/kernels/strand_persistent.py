@@ -370,11 +370,13 @@ def _persistent_kernel(
         if pipe:
             # pipelined fetch for the NEXT iteration: the 128 serialized
             # scalar reads + row copies issue here, BEFORE the enqueue /
-            # flush vector work, so the scalar unit's walk down cur_s
-            # overlaps the VPU's queue rolls and (on flush steps) the
-            # whole 8-triangle MT pass instead of blocking the body
-            # prologue. install() re-stages row 0 for refilled walkers,
-            # so service (which runs after this) stays consistent.
+            # flush vector work, INTENDING to overlap the scalar unit's
+            # walk down cur_s with the VPU's queue rolls (the reads
+            # depend on the nxt the VPU just wrote, so whether any
+            # overlap materialises is an empirical question — see the
+            # strand_ab --pipe row in docs/PROFILE_r4.md). install()
+            # re-stages row 0 for refilled walkers, so service (which
+            # runs after this) stays consistent.
             for w in range(W):
                 c = jnp.maximum(cur_s[w, 0], 0)
                 snode_s[w : w + 1, :] = tree_ref[pl.ds(c // 2, 1), :]
@@ -569,11 +571,17 @@ def strand_query_persistent(
     with W persistent walkers refilling from an on-device strand queue.
     Same contract and bit-identical results as strand_query.
 
+    ``pipe`` supersedes ``smem_cur``: the pipelined fetch reads cur_s
+    directly, so the SMEM mirror would be dead weight (its per-step
+    mirror DMA start/wait would still be paid) — the combination is
+    normalised to pipe-only here.
+
     ``mixed=True`` (deferred NEE): ``smask`` flags per-RAY any-hit
     lanes — one launch serves a bounce's shadow wave and the next
     bounce's continuation wave after one shared coherence sort; any-hit
     lanes use ``shadow_tmin`` (the reference shoots shadows from t=0,
     src/shader.wgsl:174-186) while closest lanes keep ``tmin``."""
+    smem_cur = smem_cur and not pipe  # see docstring
     r = rox.shape[0]
     r_pad = -(-r // 128) * 128
 

@@ -78,6 +78,33 @@ def test_persistent_strand_engine_matches_legacy(monkeypatch):
     assert_images_equiv(ref, sorted_q)
 
 
+def test_compact_wave_mode_matches_legacy(monkeypatch):
+    """RAYTPU_WAVE_MODE=compact runs the whole bounce pipeline (closest
+    query, tri_row gather, shading, RNG, NEE shadow query) on the live
+    prefix of the coherence-sorted wave, unsorting radiance deltas +
+    path state back per bounce. Per-lane math, masked RNG replay and
+    radiance add order are unchanged (emissive/NEE terms are per-lane
+    disjoint), so the frame must match the plain XLA walk exactly. A
+    tiny divisor list forces multiple prefix tiers to execute across the
+    frame's bounces."""
+    monkeypatch.setenv("RAYTPU_WAVE_MODE", "compact")
+    monkeypatch.setenv("RAYTPU_COMPACT_DIV", "8,2")
+    # tiny walker pool: interpret-mode persistent kernels trace/run fast
+    # AND refills are forced mid-wave (same trick as the persistent test)
+    monkeypatch.setenv("RAYTPU_STRAND_WALKERS", "8")
+    monkeypatch.setenv("RAYTPU_STRAND_SERVICE_K", "2")
+    scene, pack = cached_atrium_pack(5000)
+    cam = pack_camera(scene.camera)
+    kw = dict(width=64, height=32, seed=3, samples=1, bounces=3,
+              chunk_size=8)
+    ref = render_frame(pack, cam, raytpu.RenderConfig(**kw,
+                                                      intersector="bvh"))
+    compact = render_frame(
+        pack, cam, raytpu.RenderConfig(**kw, intersector="packet")
+    )
+    assert_images_equiv(ref, compact)
+
+
 def test_small_scene_strand_routing_matches_legacy():
     """The round-3 threshold drop (4096 -> 256 slots, PROFILE_r3.md
     finding 3) put small BVH scenes on sorted strand bounces too; the

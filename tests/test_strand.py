@@ -126,12 +126,29 @@ def test_strand_any_hit_matches_brute():
     np.testing.assert_array_equal(blocked, btri >= 0)
 
 
-@pytest.mark.parametrize("walkers,service_k", [(8, 2), (16, 16)])
-def test_persistent_strand_matches_strand(walkers, service_k):
+@pytest.mark.parametrize(
+    "walkers,service_k,pipe,smem_cur,smem_pend",
+    [
+        (8, 2, False, False, False),
+        (16, 16, False, False, False),
+        # the pipelined fetch re-stages rows on install(): tiny walker
+        # counts force many refills so the install()/service restaging
+        # interaction is exercised, not just the steady step path
+        (8, 2, True, False, False),
+        (16, 4, True, False, False),
+        (8, 2, False, True, False),
+        (8, 2, False, False, True),
+        (8, 2, True, True, True),  # pipe supersedes smem_cur (normalised)
+    ],
+)
+def test_persistent_strand_matches_strand(
+    walkers, service_k, pipe, smem_cur, smem_pend
+):
     """The persistent-refill kernel (kernels/strand_persistent.py) must
     be BIT-identical to strand_query: same tree, same per-ray math, only
     the walker->strand schedule differs. Tiny walker counts force many
-    refill service events (including the drain tail)."""
+    refill service events (including the drain tail); the pipe/smem
+    variants cover every production fetch/mirror configuration."""
     from raytpu.kernels.strand_persistent import strand_query_persistent
 
     p0, e1, e2 = _scene(600, seed=11)
@@ -149,13 +166,15 @@ def test_persistent_strand_matches_strand(walkers, service_k):
     t_ref, tri_ref = strand_query(*args, tmin=0.001, interpret=True)
     t_p, tri_p = strand_query_persistent(
         *args, tmin=0.001, interpret=True, walkers=walkers,
-        service_k=service_k,
+        service_k=service_k, pipe=pipe, smem_cur=smem_cur,
+        smem_pend=smem_pend,
     )
     np.testing.assert_array_equal(np.asarray(tri_p), np.asarray(tri_ref))
     np.testing.assert_array_equal(np.asarray(t_p), np.asarray(t_ref))
 
 
-def test_persistent_strand_small_wave_and_any_hit():
+@pytest.mark.parametrize("pipe", [False, True])
+def test_persistent_strand_small_wave_and_any_hit(pipe):
     """Waves smaller than the walker pool park the surplus walkers at
     init; any-hit blocking must match strand_query bit-for-bit."""
     from raytpu.kernels.strand_persistent import strand_query_persistent
@@ -176,7 +195,7 @@ def test_persistent_strand_small_wave_and_any_hit():
                               interpret=True)
     _, tri_p = strand_query_persistent(
         *args, tmin=0.0, any_hit=True, interpret=True, walkers=16,
-        service_k=4,
+        service_k=4, pipe=pipe,
     )
     np.testing.assert_array_equal(
         np.asarray(tri_p) >= 0, np.asarray(tri_ref) >= 0
