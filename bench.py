@@ -404,6 +404,22 @@ def main():
     mrays, ms = bench_config(f"atrium({tris}) {w}x{h}", pack, campk, cfg5,
                              repeats=2)
 
+    # config 6 (stderr-only guardrail): the beyond-VMEM stream scene on
+    # the binned treelet route — the scaling story matching the
+    # reference's "scales to whatever memory holds"
+    # (/root/reference/src/state.rs:1145-1246). The resident tables are
+    # dropped at pack time (tables='auto'), so this line rots loudly if
+    # the streamed path ever regresses. Skippable for fast local runs
+    # with RAYTPU_BENCH_NO_STREAM=1.
+    if not quick and not os.environ.get("RAYTPU_BENCH_NO_STREAM"):
+        tris6 = 2_900_000
+        scene6, pack6 = _cached_atrium(tris6)
+        assert pack6.bvh.node8_rows is None, "stream pack kept resident tables"
+        cfg6 = raytpu.RenderConfig(width=640, height=360, seed=1,
+                                   samples=1, bounces=4, chunk_size=8)
+        bench_config(f"stream({tris6}) 640x360", pack6,
+                     pack_camera(scene6.camera), cfg6, repeats=2)
+
     print(json.dumps({
         "metric": "Mrays/sec/chip, Sponza-class atrium 1080p, 4 bounces",
         "value": round(mrays, 2),

@@ -39,7 +39,8 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--rays", type=float, default=0.0,
                     help="known ray count (Mrays/s uses it if given)")
-    ap.add_argument("--scene", default="atrium", choices=["atrium", "multi"])
+    ap.add_argument("--scene", default="atrium",
+                    choices=["atrium", "multi", "pbr", "cube"])
     ap.add_argument("--tile-rows", type=int, default=None)
     ap.add_argument("--intersector", default=None,
                     help="override config.intersector")
@@ -60,6 +61,29 @@ def main():
         cfg = raytpu.RenderConfig(width=256, height=256, seed=1, samples=2,
                                   bounces=3, chunk_size=32,
                                   bruteforce_max_tris=64, **extra)
+    elif args.scene == "pbr":
+        # BASELINE config 4 (the 106.5 -> 95.4 r3 regression target)
+        from raytpu.scene.pack import pack_scene
+
+        path = os.path.join(bench.CACHE, "pbr_nee.glb")
+        if not os.path.exists(path):
+            bench._build_pbr_nee_glb(path)
+        scene = raytpu.load_scene(path)
+        pack = pack_scene(scene)
+        cfg = raytpu.RenderConfig(width=256, height=256, seed=1, samples=4,
+                                  bounces=4, chunk_size=32)
+    elif args.scene == "cube":
+        # BASELINE config 2 (cube path, flat ~85 for three rounds);
+        # camera comes from the reference's camera.json override
+        from raytpu.scene.pack import pack_scene
+
+        scene = raytpu.load_scene("/root/reference/cube.glb")
+        pack = pack_scene(scene)
+        cam_override = raytpu.load_camera_json(
+            "/root/reference/camera.json", 512, 512
+        )
+        cfg = raytpu.RenderConfig(width=512, height=512, seed=1, samples=4,
+                                  bounces=4, chunk_size=64)
     else:
         scene, pack = bench._cached_atrium(args.tris)
         extra = {}
@@ -72,7 +96,9 @@ def main():
                                   seed=1, samples=1, bounces=args.bounces,
                                   chunk_size=8, tile_rows=args.tile_rows,
                                   **extra)
-    cam = pack_camera(scene.camera)
+    cam = pack_camera(
+        cam_override if args.scene == "cube" else scene.camera
+    )
     tile_h = _auto_tile_rows(cfg, pack.n_triangles)
 
     @jax.jit

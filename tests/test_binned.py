@@ -9,6 +9,7 @@ in tests/imgdiff.py."""
 from types import SimpleNamespace
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from raytpu.accel.bvh import LEAF_SIZE, build_bvh
@@ -48,6 +49,7 @@ def test_treelet_single_treelet_when_budget_huge():
     validate_treelets(tl, bvh8)
 
 
+@pytest.mark.slow
 def test_binned_query_matches_bruteforce_interpret():
     rng, bvh8, tl, rp0, re1, re2 = _soup_treelets(
         2000, seed=11, budget_rows=48

@@ -182,6 +182,7 @@ def test_barycentrics_recompute_matches_direct():
     )
 
 
+@pytest.mark.slow
 def test_packet_kernel_matches_bruteforce_interpret():
     """The Pallas packet kernel (interpret mode, runs on CPU) must agree
     with the brute-force sweep on closest-hit t and any-hit blocking."""
@@ -229,6 +230,7 @@ def test_packet_kernel_matches_bruteforce_interpret():
     assert not blocked_pal[~live].any()
 
 
+@pytest.mark.slow
 def test_mixed_packet_matches_separate_queries_interpret():
     """mixed=True traces closest-hit and shadow lanes in one packet; the
     results must equal the separate closest / any-hit queries lane for
@@ -372,6 +374,7 @@ def test_native_builder_matches_python_renders():
     )
 
 
+@pytest.mark.slow
 def test_adversarial_overlapping_scene_fits_stack():
     """Worst-case trees (thousands of near-coincident triangles: SAH
     degenerates to median splits on identical centroids) must still satisfy

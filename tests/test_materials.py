@@ -72,6 +72,7 @@ def test_metal_mirror(tmp_path):
     assert center[0] > center[1] * 1.5
 
 
+@pytest.mark.slow
 def test_diffuse_glass_mix_statistics(tmp_path):
     b = GlbBuilder()
     m = b.add_material(color=(0.5, 0.6, 0.7, 1), metallic=0.0, ior=1.5)
@@ -117,6 +118,7 @@ def test_textured_quad_bilinear(tmp_path):
     assert np.ptp(corners, axis=0).max() > 0.3
 
 
+@pytest.mark.slow
 def test_textured_path_trace_matches_oracle(tmp_path):
     b = GlbBuilder()
     tex = (np.random.default_rng(0).integers(0, 256, (8, 8, 4))

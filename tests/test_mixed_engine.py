@@ -13,6 +13,8 @@ described in tests/imgdiff.py.
 cover was retired as a measured end-to-end loss — docs/PROFILE_r2.md.)
 """
 
+import pytest
+
 import raytpu
 from benchmarks.scenes import build_atrium
 from raytpu.engine.render import render_frame
@@ -78,6 +80,7 @@ def test_persistent_strand_engine_matches_legacy(monkeypatch):
     assert_images_equiv(ref, sorted_q)
 
 
+@pytest.mark.slow
 def test_compact_wave_mode_matches_legacy(monkeypatch):
     """RAYTPU_WAVE_MODE=compact runs the whole bounce pipeline (closest
     query, tri_row gather, shading, RNG, NEE shadow query) on the live

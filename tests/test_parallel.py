@@ -19,6 +19,7 @@ def test_eight_devices_available():
     assert len(jax.devices()) >= 8
 
 
+@pytest.mark.slow
 def test_row_sharded_render_matches_single_device(cube_scene, cube_camera,
                                                   packed):
     """Row sharding computes the same pixels with the same RNG streams; the

@@ -46,6 +46,7 @@ def test_path_traced_multi_sample(cube_scene, cube_camera, oracle):
     assert psnr(quantize_rgba32f(frame), quantize_rgba32f(ref)) > 35.0
 
 
+@pytest.mark.slow
 def test_path_traced_128_bar(cube_scene, cube_camera, oracle):
     """The BASELINE.json parity bar (SSIM >= 0.99) at 128x128 — the highest
     resolution the scalar oracle affords in CI."""

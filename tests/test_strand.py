@@ -66,6 +66,7 @@ def _brute(per_p0, per_e1, per_e2, ro, rd, tmin, tmax, any_hit=False):
 
 
 @pytest.mark.parametrize("ntri", [5, 300, 3000])
+@pytest.mark.slow
 def test_strand_closest_matches_brute(ntri):
     p0, e1, e2 = _scene(ntri)
     bvh, _ = build_bvh(p0, e1, e2)
@@ -106,6 +107,7 @@ def test_strand_closest_matches_brute(ntri):
     np.testing.assert_allclose(t[live & hit], bt[live & hit], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_strand_any_hit_matches_brute():
     p0, e1, e2 = _scene(800, seed=3)
     bvh, _ = build_bvh(p0, e1, e2)
@@ -141,6 +143,7 @@ def test_strand_any_hit_matches_brute():
         (8, 2, True, True, True),  # pipe supersedes smem_cur (normalised)
     ],
 )
+@pytest.mark.slow
 def test_persistent_strand_matches_strand(
     walkers, service_k, pipe, smem_cur, smem_pend
 ):
@@ -174,6 +177,7 @@ def test_persistent_strand_matches_strand(
 
 
 @pytest.mark.parametrize("pipe", [False, True])
+@pytest.mark.slow
 def test_persistent_strand_small_wave_and_any_hit(pipe):
     """Waves smaller than the walker pool park the surplus walkers at
     init; any-hit blocking must match strand_query bit-for-bit."""

@@ -20,6 +20,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.tpu
+@pytest.mark.slow
 def test_compiled_intersectors_agree_on_tpu():
     env = {
         k: v for k, v in os.environ.items()
