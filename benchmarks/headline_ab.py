@@ -70,8 +70,11 @@ def main():
             bench._build_pbr_nee_glb(path)
         scene = raytpu.load_scene(path)
         pack = pack_scene(scene)
+        extra = (
+            {"intersector": args.intersector} if args.intersector else {}
+        )
         cfg = raytpu.RenderConfig(width=256, height=256, seed=1, samples=4,
-                                  bounces=4, chunk_size=32)
+                                  bounces=4, chunk_size=32, **extra)
     elif args.scene == "cube":
         # BASELINE config 2 (cube path, flat ~85 for three rounds);
         # camera comes from the reference's camera.json override
