@@ -49,9 +49,9 @@ def _cached_atrium(target_tris: int):
     import pickle
 
     os.makedirs(CACHE, exist_ok=True)
-    schema = 8  # bump when ScenePack layout or the scene changes
-    # (v8: tri_p0/e1/e2 became tri_row views + stream-scene table gating;
-    # v7: BvhPack.strand_rows)
+    schema = 9  # bump when ScenePack layout or the scene changes
+    # (v9: BvhPack.ribbon_rows; v8: tri_p0/e1/e2 became tri_row views +
+    # stream-scene table gating; v7: BvhPack.strand_rows)
     key = os.path.join(CACHE, f"atrium_{target_tris}_v{schema}.pkl")
     from benchmarks.scenes import build_atrium
 

@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--pipe", action="store_true",
                     help="software-pipelined node fetch (fetch for step "
                          "k+1 issues before step k's queue/flush work)")
+    ap.add_argument("--ribbon", type=int, default=0, metavar="K",
+                    help="ribbon layout with K sub-steps per fetched "
+                         "16-node row (0 = strand layout)")
     ap.add_argument("--inner", type=int, default=8,
                     help="device-side chained repeats per timing (waves "
                          "are ~RPC-floor-sized; chaining is the only "
@@ -71,6 +74,13 @@ def main():
     _, pack = bench._cached_atrium(args.tris)
     tree = pack.bvh.strand_rows
     leaves = pack.bvh.leaf_tris
+    ribbon_rpo = 0
+    if args.ribbon:
+        assert pack.bvh.ribbon_rows is not None, "pack has no ribbon rows"
+        ptree = pack.bvh.ribbon_rows
+        ribbon_rpo = ptree.shape[0] // 8
+    else:
+        ptree = tree
 
     # RPC floor: cheapest possible device round-trip
     @jax.jit
@@ -94,12 +104,14 @@ def main():
 
         def persist_q(tm):
             return strand_query_persistent(
-                tree, leaves, ro[:, 0], ro[:, 1], ro[:, 2],
+                ptree, leaves, ro[:, 0], ro[:, 1], ro[:, 2],
                 rd[:, 0], rd[:, 1], rd[:, 2], tm,
                 tmin=tmin, any_hit=any_hit,
                 walkers=args.walkers, service_k=args.service_k,
                 flush_occ=args.flush, smem_cur=args.smem_cur,
                 smem_pend=args.smem_pend, pipe=args.pipe,
+                ribbon_rpo=ribbon_rpo,
+                ribbon_k=args.ribbon if args.ribbon else 4,
             )
 
         def block_q(tm):

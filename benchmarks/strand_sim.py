@@ -59,6 +59,10 @@ def walk_strand(tree_o, leaf, ro, rd, tmax, tmin, any_hit, rowstats=None):
     the speculative multi-step idea (process the co-resident node in
     the same iteration, no extra fetch)."""
     bmin, bmax, hit, miss = tree_o
+    if rowstats is not None:
+        # node-visit sequence, -1-separated per strand (for the fixed-K
+        # sub-step iteration model in main)
+        rowstats.setdefault("_seq", []).extend([-1, 0])
     inv = 1.0 / np.where(rd == 0.0, np.float32(1e-36), rd)
     neg = inv < 0.0
     best_t = np.minimum(np.full(ro.shape[0], F32_MAX, np.float32), tmax)
@@ -108,14 +112,45 @@ def walk_strand(tree_o, leaf, ro, rd, tmax, tmin, any_hit, rowstats=None):
             nxt = miss[cur]
         if rowstats is not None and nxt >= 0:
             rowstats["trans"] = rowstats.get("trans", 0) + 1
-            if nxt // 2 == cur // 2:
-                rowstats["row2"] = rowstats.get("row2", 0) + 1
-            if nxt // 4 == cur // 4:
-                rowstats["row4"] = rowstats.get("row4", 0) + 1
+            for rsz in (2, 4, 8, 16):
+                if nxt // rsz == cur // rsz:
+                    k = f"row{rsz}"
+                    rowstats[k] = rowstats.get(k, 0) + 1
+            rowstats.setdefault("_seq", []).append(nxt)
         cur = nxt
         if any_hit and bool((blocked | (tmax < 0)).all()):
             break
     return steps, leafs
+
+
+def ribbon_renumber(tree_o, n: int):
+    """Renumber one octant's threading in near-first DFS pre-order.
+
+    The always-hit walk (interior -> hit, leaf -> miss) visits every
+    node exactly once (validate_strand_tree), and an interior node's hit
+    link is its near-first child — visited immediately after — so in the
+    renumbered space hit[v] == v + 1 for every interior node. A walker's
+    hit-CHAIN is then a run of consecutive node indices: with R nodes
+    packed per fetch row, the chain advances inside one fetched row
+    without touching the scalar unit. Returns (bmin, bmax, hit, miss)
+    in the new numbering plus the permutation."""
+    bmin, bmax, hit, miss = tree_o
+    order = np.empty(n, np.int64)
+    pos = np.empty(n, np.int64)
+    v, i = 0, 0
+    while v != -1:
+        order[i] = v
+        pos[v] = i
+        v = int(hit[v]) if hit[v] >= 0 else int(miss[v])
+        i += 1
+    assert i == n
+
+    # leaf hit links are ~leaf_row payloads (< 0) — kept verbatim
+    nhit = np.where(hit >= 0, pos[np.maximum(hit, 0)], hit)[order]
+    nmiss = np.where(miss >= 0, pos[np.maximum(miss, 0)], miss)[order]
+    interior = nhit >= 0
+    assert (nhit[interior] == np.flatnonzero(interior) + 1).all()
+    return (bmin[order], bmax[order], nhit, nmiss), order
 
 
 def collapsed_threading(pack, levels: int):
@@ -204,6 +239,12 @@ def main():
                     help="count fetch-row-local transitions (sizes the "
                          "speculative multi-step: next//2==cur//2 needs "
                          "no extra fetch)")
+    ap.add_argument("--ribbon", action="store_true",
+                    help="renumber each octant's threading in near-first "
+                         "DFS pre-order (hit == cur+1 for interiors) and "
+                         "report row-local transition fractions — sizes "
+                         "the ribbon layout where a hit-chain runs inside "
+                         "one fetched row")
     ap.add_argument("--order-from", default=None,
                     help="sort this wave by ANOTHER wave's key (e.g. walk "
                          "b2s in b2c's sorted order — models the "
@@ -226,6 +267,10 @@ def main():
             np.asarray(pack.bvh.strand_rows),
             int(np.asarray(pack.bvh.nodes).shape[0]),
         )
+    if args.ribbon:
+        n = tree[0][0].shape[0]
+        tree = [ribbon_renumber(t, n)[0] for t in tree]
+        args.rowstats = True
     leaf = np.asarray(pack.bvh.leaf_tris)
 
     for name in args.waves:
@@ -293,10 +338,37 @@ def main():
                 per_ray = steps.sum() / max(n_str * S, 1)
                 if rstats:
                     tr = max(rstats.get("trans", 1), 1)
-                    print(f"{name} rowstats: trans={tr} "
-                          f"row2={rstats.get('row2', 0) / tr:.3f} "
-                          f"row4={rstats.get('row4', 0) / tr:.3f}",
+                    frac = " ".join(
+                        f"row{z}={rstats.get(f'row{z}', 0) / tr:.3f}"
+                        for z in (2, 4, 8, 16)
+                    )
+                    print(f"{name} rowstats: trans={tr} {frac}",
                           flush=True)
+                    seq = rstats.get("_seq")
+                    if seq:
+                        # fixed-K model: one scalar fetch per iteration,
+                        # up to K node tests while the walk stays inside
+                        # the fetched 16-node row
+                        total = sum(x >= 0 for x in seq)
+                        for K in (2, 3, 4, 6, 8):
+                            iters = 0
+                            row, done = -2, 0
+                            for x in seq:
+                                if x < 0:
+                                    row = -2
+                                    continue
+                                if x // 16 == row and done < K:
+                                    done += 1
+                                else:
+                                    iters += 1
+                                    row, done = x // 16, 1
+                            print(
+                                f"{name} ribbon16 K={K}: "
+                                f"iters/step={iters / max(total, 1):.3f}"
+                                f" (fetch reduction "
+                                f"{max(total, 1) / max(iters, 1):.2f}x)",
+                                flush=True,
+                            )
                 line = (f"{name} bits={bits} S={S}: strands={n_str} "
                         f"steps/ray={per_ray:.2f} "
                         f"steps mean={steps.mean():.0f} "

@@ -50,6 +50,31 @@ class StrandTree:
     n_nodes: int
 
 
+RIBBON_NODES_PER_ROW = 16  # 16 nodes x 8 floats = one 128-lane row
+
+
+@dataclass
+class RibbonTree:
+    """Per-octant ribbon layout (round 4): each octant's threading is
+    renumbered in its OWN near-first DFS pre-order, so an interior node's
+    hit link is always ``v + 1`` — a walker's hit-CHAIN is a run of
+    consecutive node indices. Rows pack 16 nodes of ONE octant (vs the
+    StrandTree's 2 nodes x 8 octants), so while the chain stays inside a
+    fetched row the kernel advances WITHOUT a new serialized scalar
+    fetch. Captured-wave sim (benchmarks/strand_sim.py --ribbon): 74% of
+    ALL transitions stay in a 16-node row -> 2.69x fewer fetches at 4
+    sub-steps per fetch. Memory identical to StrandTree (64N floats).
+
+    Row ``o * rows_per_oct + j // 16`` lanes ``(j % 16) * 8 .. +8`` hold
+    octant o's renumbered node j: bmin.xyz, bmax.xyz, hit, miss (value-
+    cast floats, same link conventions as StrandTree; every octant's
+    root is its node 0)."""
+
+    rows: np.ndarray  # [8 * rows_per_oct, 128] f32
+    n_nodes: int
+    rows_per_oct: int
+
+
 def _children(bvh: BvhArrays):
     """Reconstruct (left, right) child indices from the canonical threaded
     layout: DFS pre-order means left = n + 1, and the emitter threads a
@@ -81,17 +106,16 @@ def strand_tree_from_packed(nodes_fused: np.ndarray) -> StrandTree:
     return build_strand_tree(bvh)
 
 
-def build_strand_tree(bvh: BvhArrays) -> StrandTree:
+def _octant_links(bvh: BvhArrays):
+    """Per-octant near-first DFS threading over the FIXED canonical node
+    numbering (only the links differ per octant). Returns (hit, miss),
+    each [8, N] int64 with the StrandTree link conventions."""
     n = bvh.n_nodes
     interior, left, right = _children(bvh)
     center = (bvh.bmin + bvh.bmax) * 0.5
     leaf_row = np.where(
         bvh.leaf_count > 0, bvh.leaf_first // bvh.leaf_size, -1
     )
-
-    rows = np.zeros((-(-n // 2), 128), np.float32)
-    # per-octant near-first DFS threading over the FIXED canonical node
-    # numbering (only the links differ per octant)
     signs = np.array(
         [[1 if (o >> a) & 1 == 0 else -1 for a in range(3)]
          for o in range(OCTANTS)],
@@ -129,7 +153,13 @@ def build_strand_tree(bvh: BvhArrays) -> StrandTree:
                 hl[v] = ~lr[v]
         hit[o] = hl
         miss[o] = ml
+    return hit, miss
 
+
+def build_strand_tree(bvh: BvhArrays) -> StrandTree:
+    n = bvh.n_nodes
+    hit, miss = _octant_links(bvh)
+    rows = np.zeros((-(-n // 2), 128), np.float32)
     node = np.arange(n)
     base = (node % 2) * 64
     for o in range(OCTANTS):
@@ -141,6 +171,59 @@ def build_strand_tree(bvh: BvhArrays) -> StrandTree:
         rows[r, lo + 6] = hit[o].astype(np.float32)
         rows[r, lo + 7] = miss[o].astype(np.float32)
     return StrandTree(rows=rows, n_nodes=n)
+
+
+def build_ribbon_tree(bvh: BvhArrays) -> RibbonTree:
+    """Ribbon layout: per-octant renumbering in near-first DFS pre-order
+    (hit == v + 1 for interiors) packed 16 nodes of one octant per row —
+    see the RibbonTree docstring. The node-visit SEQUENCE of any walk is
+    identical to the StrandTree's (same threading, renumbered), so the
+    traversal results are bit-identical."""
+    n = bvh.n_nodes
+    hit, miss = _octant_links(bvh)
+    rpo = -(-n // RIBBON_NODES_PER_ROW)
+    rows = np.zeros((OCTANTS * rpo, 128), np.float32)
+    # padded tail slots: inverted boxes (never hit) + terminating links;
+    # unreachable (no link points there) but inert even if fetched
+    pad_cols = np.tile(
+        np.array([np.inf, np.inf, np.inf, -np.inf, -np.inf, -np.inf,
+                  -1.0, -1.0], np.float32),
+        RIBBON_NODES_PER_ROW,
+    )
+    rows[:] = pad_cols
+    interior = bvh.leaf_count == 0
+    for o in range(OCTANTS):
+        h, m = hit[o], miss[o]
+        # the always-hit walk (interior -> hit, leaf -> miss) visits every
+        # node exactly once in near-first DFS pre-order
+        # (validate_strand_tree); its sequence IS the new numbering
+        order = np.empty(n, np.int64)
+        pos = np.empty(n, np.int64)
+        il = interior.tolist()
+        hl, ml = h.tolist(), m.tolist()
+        v = 0
+        for i in range(n):
+            order[i] = v
+            pos[v] = i
+            v = hl[v] if il[v] else ml[v]
+            if v == -1:
+                assert i == n - 1, "threading dropped nodes"
+        # renumber links: leaf hit payloads (~leaf_row < 0) verbatim;
+        # -1 miss terminators verbatim
+        nhit = np.where(h >= 0, pos[np.maximum(h, 0)], h)[order]
+        nmiss = np.where(m >= 0, pos[np.maximum(m, 0)], m)[order]
+        assert (
+            nhit[interior[order]] == np.flatnonzero(interior[order]) + 1
+        ).all(), "pre-order renumbering must make hit == v + 1"
+        j = np.arange(n)
+        r = o * rpo + j // RIBBON_NODES_PER_ROW
+        lo = (j % RIBBON_NODES_PER_ROW) * NODE_LANES
+        for a in range(3):
+            rows[r, lo + a] = bvh.bmin[order, a]
+            rows[r, lo + 3 + a] = bvh.bmax[order, a]
+        rows[r, lo + 6] = nhit.astype(np.float32)
+        rows[r, lo + 7] = nmiss.astype(np.float32)
+    return RibbonTree(rows=rows, n_nodes=n, rows_per_oct=rpo)
 
 
 def validate_strand_tree(tree: StrandTree, bvh: BvhArrays) -> None:
@@ -177,3 +260,46 @@ def validate_strand_tree(tree: StrandTree, bvh: BvhArrays) -> None:
             steps += 1
             assert steps <= n
         assert visited.all(), f"octant {o}: threading drops nodes"
+
+
+def validate_ribbon_tree(
+    tree: RibbonTree, strand: StrandTree, bvh: BvhArrays
+) -> None:
+    """Per octant: walking the ribbon from its root must visit the SAME
+    box/leaf sequence as walking the StrandTree from node 0 under every
+    branch outcome summary — verified by replaying the always-hit walk
+    (which covers every node) and checking box + leaf-payload equality
+    step by step, plus hit == v + 1 for interiors."""
+    n = tree.n_nodes
+    rpo = tree.rows_per_oct
+    K = RIBBON_NODES_PER_ROW
+    interior = bvh.leaf_count == 0
+    for o in range(OCTANTS):
+        def rib(j):
+            r, lo = o * rpo + j // K, (j % K) * NODE_LANES
+            return tree.rows[r, lo : lo + NODE_LANES]
+
+        def strd(v):
+            r, lo = v // 2, (v % 2) * 64 + o * NODE_LANES
+            return strand.rows[r, lo : lo + NODE_LANES]
+
+        v, j, steps = 0, 0, 0
+        while v != -1:
+            sv, rj = strd(v), rib(j)
+            np.testing.assert_array_equal(rj[:6], sv[:6])
+            is_int = interior[v]
+            if is_int:
+                assert int(rj[6]) == j + 1, (o, j)
+            else:
+                assert int(rj[6]) == int(sv[6]), (o, j)  # ~leaf_row
+            # same NEXT box under a miss: either both terminate or the
+            # miss targets carry identical records
+            mv, mj = int(sv[7]), int(rj[7])
+            assert (mv == -1) == (mj == -1), (o, j)
+            if mv != -1:
+                np.testing.assert_array_equal(rib(mj)[:6], strd(mv)[:6])
+            v = int(sv[6]) if is_int else int(sv[7])
+            j = int(rj[6]) if is_int else int(rj[7])
+            steps += 1
+            assert steps <= n
+        assert j == -1, o

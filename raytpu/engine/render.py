@@ -913,7 +913,14 @@ def _trace_paths(
     #             (measured loss at full width, kept for A/B evidence)
     #   compact — per-bounce in-sort reused as live-prefix compaction:
     #             queries AND shading run at live width
-    wave_mode = os.environ.get("RAYTPU_WAVE_MODE", "query")
+    # Default is wave-width gated (round-4 frame A/Bs, docs/PROFILE_r4.md):
+    # compact wins on the 2.07M-lane headline (726 -> 694 ms) but LOSES on
+    # small waves (multi 65k lanes: 19.2 -> 22.4 ms with compact+pipe) —
+    # the tier cond-chain's fixed cost outweighs dead-lane savings there.
+    large_wave = r >= int(os.environ.get("RAYTPU_LARGE_WAVE", str(1 << 20)))
+    wave_mode = os.environ.get(
+        "RAYTPU_WAVE_MODE", "compact" if large_wave else "query"
+    )
     persistent = sort_bounced and not use_mixed and wave_mode == "resort"
     compact = sort_bounced and not use_mixed and wave_mode == "compact"
     if use_mixed:
@@ -934,14 +941,20 @@ def _trace_paths(
         if eager:
             if bool(jnp.any(carry[5])):
                 carry = step(carry)
-        elif os.environ.get("RAYTPU_NO_GUARD"):
-            # A/B knob: a bounce step over an all-dead carry is a bit-exact
-            # no-op (tmax=-inf kills every query; rand_masked advances no
-            # lane; where(bounce_on) keeps state), so the cond guard is an
+        elif os.environ.get(
+            "RAYTPU_NO_GUARD", "1" if large_wave else "0"
+        ) != "0":
+            # A bounce step over an all-dead carry is a bit-exact no-op
+            # (tmax=-inf kills every query; rand_masked advances no lane;
+            # where(bounce_on) keeps state), so the cond guard is an
             # optimisation only — and lax.cond forces operand/result
             # buffer copies every bounce (the pred[2M] memory-space
             # copies in the frame profile) while its skip almost never
-            # fires on the headline frame.
+            # fires on the headline frame. Default on large waves: drop
+            # the guard (711 vs 726 ms solo, part of the best 675 ms
+            # combo, docs/PROFILE_r4.md); small tiles keep the guard —
+            # their early all-dead skips can fire. RAYTPU_NO_GUARD=0/1
+            # forces either way.
             carry = step(carry)
         else:
             carry = jax.lax.cond(jnp.any(carry[5]), step, lambda c: c, carry)

@@ -477,7 +477,25 @@ def make_strand_intersectors(pack, tmin: float = 0.001,
     walkers_n = int(os.environ.get("RAYTPU_STRAND_WALKERS", "128"))
     service_k = int(os.environ.get("RAYTPU_STRAND_SERVICE_K", "16"))
     flush_occ = float(os.environ.get("RAYTPU_STRAND_FLUSH", "0.75"))
-    pipe = os.environ.get("RAYTPU_STRAND_PIPE", "0") != "0"
+    # pipelined node fetch: measured win on deep-tree captured waves
+    # (b1c 18.6 -> 17.7 ms, b2c 14.4 -> 13.5, headline frame part of the
+    # 675 ms best combo — docs/PROFILE_r4.md); unmeasured on tiny trees
+    # whose walks are a few steps, so default on only for big scenes.
+    pipe = os.environ.get(
+        "RAYTPU_STRAND_PIPE",
+        "1" if pack.n_triangles >= 4096 else "0",
+    ) != "0"
+    # ribbon layout: RAYTPU_RIBBON=K (sub-steps per fetched row, 1..8)
+    # walks the per-octant pre-order renumbered tree — persistent kernel
+    # only; 0 restores the octant-threaded strand layout
+    ribbon_k = int(os.environ.get("RAYTPU_RIBBON", "0"))
+    use_ribbon = (
+        ribbon_k > 0 and persistent
+        and getattr(pack.bvh, "ribbon_rows", None) is not None
+    )
+    if use_ribbon:
+        tree = pack.bvh.ribbon_rows
+    ribbon_rpo = tree.shape[0] // 8 if use_ribbon else 0
 
     def query(ro, rd, tmax_r, tmin_q, any_q):
         if persistent:
@@ -492,6 +510,8 @@ def make_strand_intersectors(pack, tmin: float = 0.001,
                 service_k=service_k,
                 flush_occ=flush_occ,
                 pipe=pipe,
+                ribbon_rpo=ribbon_rpo,
+                ribbon_k=ribbon_k if use_ribbon else 4,
             )
         return strand_query(
             tree, leaves,
@@ -534,8 +554,20 @@ def make_strand_mixed_query(pack, interpret: bool = False):
     walkers = int(os.environ.get("RAYTPU_STRAND_WALKERS", "128"))
     service_k = int(os.environ.get("RAYTPU_STRAND_SERVICE_K", "16"))
     flush_occ = float(os.environ.get("RAYTPU_STRAND_FLUSH", "0.75"))
-    # bound at factory time like every other knob (ADVICE r3)
-    pipe = os.environ.get("RAYTPU_STRAND_PIPE", "0") != "0"
+    # bound at factory time like every other knob (ADVICE r3); same
+    # size-gated default as make_strand_intersectors
+    pipe = os.environ.get(
+        "RAYTPU_STRAND_PIPE",
+        "1" if pack.n_triangles >= 4096 else "0",
+    ) != "0"
+    ribbon_k = int(os.environ.get("RAYTPU_RIBBON", "0"))
+    use_ribbon = (
+        ribbon_k > 0
+        and getattr(pack.bvh, "ribbon_rows", None) is not None
+    )
+    if use_ribbon:
+        tree = pack.bvh.ribbon_rows
+    ribbon_rpo = tree.shape[0] // 8 if use_ribbon else 0
 
     def query(ro, rd, tmax, smask, *, tmin: float, shadow_tmin: float):
         return strand_query_persistent(
@@ -546,6 +578,8 @@ def make_strand_mixed_query(pack, interpret: bool = False):
             walkers=walkers, service_k=service_k, flush_occ=flush_occ,
             smask=smask, mixed=True, shadow_tmin=shadow_tmin,
             pipe=pipe,
+            ribbon_rpo=ribbon_rpo,
+            ribbon_k=ribbon_k if use_ribbon else 4,
         )
 
     return query

@@ -74,6 +74,7 @@ def _persistent_kernel(
     #            deferred-leaf pending]
     cur_smem,  # SMEM (W,1) i32 — scalar mirror of cur_s (fetch indices)
     pend_smem,  # SMEM (W,1) i32 — scalar mirror of pend_s (leaf rows)
+    obase_smem,  # SMEM (W,) i32 — ribbon: per-walker octant row base
     sem_in,  # DMA, shared by all in-copies (waits match starts 1:1)
     sem_out,  # DMA, shared by all out-copies
     sem_cur,  # DMA for the per-step cur_s -> cur_smem mirror copy
@@ -91,8 +92,18 @@ def _persistent_kernel(
     smem_cur: bool,
     smem_pend: bool,
     pipe: bool,
+    ribbon_rpo: int,
+    ribbon_k: int,
 ):
     W = walkers
+    # ribbon mode (accel/strandtree.py RibbonTree): tree_ref rows pack 16
+    # nodes of ONE octant in that octant's near-first DFS pre-order
+    # (hit == v + 1), so a walker's hit-chain runs inside one fetched row.
+    # Each iteration fetches once per walker and then takes up to
+    # ribbon_k sub-steps while the walk stays in-row (sim: 74% of all
+    # transitions do, 2.69x fewer fetches at K=4 — strand_sim --ribbon).
+    ribbon = ribbon_rpo > 0
+    assert not ribbon or 1 <= ribbon_k <= 8
     # mixed mode: rays8 row 7 carries a per-LANE any-hit flag (the
     # deferred-NEE shadow mask) — one launch serves bounce b's shadow
     # rays AND bounce b+1's continuation rays after one shared coherence
@@ -140,7 +151,20 @@ def _persistent_kernel(
         qn_s[w : w + 1, 0:1] = one * 0
         pend_s[w : w + 1, 0:1] = -one
         act_s[w : w + 1, 0:1] = one
-        if pipe:
+        if ribbon:
+            # the strand's octant picks its renumbered tree: row base =
+            # octant * rows_per_oct (lane 0 is representative — the
+            # engine sorts waves direction-octant-major). Three scalar
+            # reads per REFILL, not per step.
+            ob = (
+                (rdx_s[w, 0] < 0.0).astype(jnp.int32)
+                + 2 * (rdy_s[w, 0] < 0.0).astype(jnp.int32)
+                + 4 * (rdz_s[w, 0] < 0.0).astype(jnp.int32)
+            ) * ribbon_rpo
+            obase_smem[w] = ob
+            if pipe:
+                snode_s[w : w + 1, :] = tree_ref[pl.ds(ob, 1), :]
+        elif pipe:
             # pipelined fetch: the body consumes snode_s directly, so a
             # refilled walker's first node row (cur = 0 -> tree row 0)
             # is staged here instead of at body start
@@ -185,6 +209,8 @@ def _persistent_kernel(
             idx_s[w : w + 1, :] = jnp.ones((1, 128))
             idy_s[w : w + 1, :] = jnp.ones((1, 128))
             idz_s[w : w + 1, :] = jnp.ones((1, 128))
+            if ribbon:
+                obase_smem[w] = 0
             if pipe:
                 # never-active rows still flow through the vector step;
                 # stage any real row (ACT masks every consequence)
@@ -303,96 +329,145 @@ def _persistent_kernel(
                     c = jnp.maximum(cur_smem[w, 0], 0)
                 else:
                     c = jnp.maximum(cur_s[w, 0], 0)
-                snode_s[w : w + 1, :] = tree_ref[pl.ds(c // 2, 1), :]
+                if ribbon:
+                    snode_s[w : w + 1, :] = tree_ref[
+                        pl.ds(obase_smem[w] + c // 16, 1), :
+                    ]
+                else:
+                    snode_s[w : w + 1, :] = tree_ref[pl.ds(c // 2, 1), :]
         cur = cur_s[...]
-        S = snode_s[...]
-        RDX0 = rdx_s[:, 0:1]
-        RDY0 = rdy_s[:, 0:1]
-        RDZ0 = rdz_s[:, 0:1]
-        OB = (
-            (RDX0 < 0.0).astype(jnp.int32)
-            + 2 * (RDY0 < 0.0).astype(jnp.int32)
-            + 4 * (RDZ0 < 0.0).astype(jnp.int32)
-        ) * 8
-        AMT = (jnp.maximum(cur, 0) & 1) * 64 + OB
-        for b in (3, 4, 5, 6):
-            S = jnp.where(
-                (AMT & (1 << b)) != 0,
-                pltpu.roll(S, 128 - (1 << b), 1), S,
-            )
-        ACT = cur >= 0
-        HITL = S[:, 6:7].astype(jnp.int32)
-        MISSL = S[:, 7:8].astype(jnp.int32)
         TMAX = tmax_s[...]
         best_t = bt_s[...]
         best_tri = btr_s[...]
         if mixed:
             AH = ah_s[...] > 0.0
-            # any-hit lanes stop contributing once blocked (their best_t
-            # never shrinks, so -inf kills further box hits); a walker
-            # whose lanes are all blocked-or-dead-or-shadow-done parks
-            LIMIT = jnp.where(AH & (best_tri >= 0), -jnp.inf, best_t)
-            all_done = jnp.all(
-                (AH & (best_tri >= 0)) | (TMAX < 0.0),
-                axis=1, keepdims=True,
-            )
-            ACT = ACT & jnp.logical_not(all_done)
-        elif any_hit:
-            LIMIT = jnp.where(best_tri >= 0, -jnp.inf, TMAX)
-            all_done = jnp.all(
-                (best_tri >= 0) | (TMAX < 0.0), axis=1, keepdims=True
-            )
-            ACT = ACT & jnp.logical_not(all_done)
-        else:
-            LIMIT = best_t
         IDX, IDY, IDZ = idx_s[...], idy_s[...], idz_s[...]
         NEGX, NEGY, NEGZ = IDX < 0.0, IDY < 0.0, IDZ < 0.0
         ROX, ROY, ROZ = rox_s[...], roy_s[...], roz_s[...]
-        # 2) slab test (per-walker box broadcast from (W,1) columns)
-        lox = (jnp.where(NEGX, S[:, 3:4], S[:, 0:1]) - ROX) * IDX
-        hix = (jnp.where(NEGX, S[:, 0:1], S[:, 3:4]) - ROX) * IDX
-        loy = (jnp.where(NEGY, S[:, 4:5], S[:, 1:2]) - ROY) * IDY
-        hiy = (jnp.where(NEGY, S[:, 1:2], S[:, 4:5]) - ROY) * IDY
-        loz = (jnp.where(NEGZ, S[:, 5:6], S[:, 2:3]) - ROZ) * IDZ
-        hiz = (jnp.where(NEGZ, S[:, 2:3], S[:, 5:6]) - ROZ) * IDZ
-        near = jnp.maximum(
-            jnp.maximum(lox, loy), jnp.maximum(loz, slab_tmin)
-        )
-        far = jnp.minimum(jnp.minimum(hix, hiy), jnp.minimum(hiz, LIMIT))
-        HIT = near <= far
-        hit_any = jnp.any(HIT, axis=1, keepdims=True) & ACT
-        IS_LEAF = HITL < 0
-        # 3) advance walkers
-        pend = jnp.where(hit_any & IS_LEAF, ~HITL, -1)
-        nxt = jnp.where(hit_any & jnp.logical_not(IS_LEAF), HITL, MISSL)
-        nxt = jnp.where(ACT, nxt, jnp.int32(-1))
-        cur_s[...] = nxt
+
+        def advance(S_raw, cur, q, qn, roll_amt, part):
+            """One walk step on the fetched rows: octant/offset roll,
+            slab test, link select, leaf enqueue. ``part`` masks walkers
+            participating this sub-step (ribbon: in-fetched-row and
+            queue-headroom); masked walkers keep cur/q/qn unchanged.
+            Identical op order to the original single-step body."""
+            S = S_raw
+            for b in (3, 4, 5, 6):
+                S = jnp.where(
+                    (roll_amt & (1 << b)) != 0,
+                    pltpu.roll(S, 128 - (1 << b), 1), S,
+                )
+            HITL = S[:, 6:7].astype(jnp.int32)
+            MISSL = S[:, 7:8].astype(jnp.int32)
+            ACT = part
+            if mixed:
+                # any-hit lanes stop contributing once blocked (their
+                # best_t never shrinks, so -inf kills further box hits);
+                # a walker whose lanes are all blocked-or-dead-or-
+                # shadow-done parks
+                LIMIT = jnp.where(AH & (best_tri >= 0), -jnp.inf, best_t)
+                all_done = jnp.all(
+                    (AH & (best_tri >= 0)) | (TMAX < 0.0),
+                    axis=1, keepdims=True,
+                )
+                ACT = ACT & jnp.logical_not(all_done)
+            elif any_hit:
+                LIMIT = jnp.where(best_tri >= 0, -jnp.inf, TMAX)
+                all_done = jnp.all(
+                    (best_tri >= 0) | (TMAX < 0.0), axis=1, keepdims=True
+                )
+                ACT = ACT & jnp.logical_not(all_done)
+            else:
+                LIMIT = best_t
+            # 2) slab test (per-walker box broadcast from (W,1) columns)
+            lox = (jnp.where(NEGX, S[:, 3:4], S[:, 0:1]) - ROX) * IDX
+            hix = (jnp.where(NEGX, S[:, 0:1], S[:, 3:4]) - ROX) * IDX
+            loy = (jnp.where(NEGY, S[:, 4:5], S[:, 1:2]) - ROY) * IDY
+            hiy = (jnp.where(NEGY, S[:, 1:2], S[:, 4:5]) - ROY) * IDY
+            loz = (jnp.where(NEGZ, S[:, 5:6], S[:, 2:3]) - ROZ) * IDZ
+            hiz = (jnp.where(NEGZ, S[:, 2:3], S[:, 5:6]) - ROZ) * IDZ
+            near = jnp.maximum(
+                jnp.maximum(lox, loy), jnp.maximum(loz, slab_tmin)
+            )
+            far = jnp.minimum(
+                jnp.minimum(hix, hiy), jnp.minimum(hiz, LIMIT)
+            )
+            HIT = near <= far
+            hit_any = jnp.any(HIT, axis=1, keepdims=True) & ACT
+            IS_LEAF = HITL < 0
+            # 3) advance walkers
+            pend = jnp.where(hit_any & IS_LEAF, ~HITL, -1)
+            nxt = jnp.where(
+                hit_any & jnp.logical_not(IS_LEAF), HITL, MISSL
+            )
+            nxt = jnp.where(ACT, nxt, jnp.int32(-1))
+            cur = jnp.where(part, nxt, cur)
+            # 4) enqueue leaf visits (LIFO insert at lane 0)
+            enq = pend >= 0
+            q = jnp.where(enq, pltpu.roll(q, 1, 1), q)
+            q = jnp.where(enq & (LANE == 0), pend, q)
+            qn = qn + enq.astype(jnp.int32)
+            return cur, q, qn
+
+        q = queue_s[...]
+        qn = qn_s[...]
+        if ribbon:
+            # up to ribbon_k sub-steps on the one fetched row: the walk
+            # participates while it stays inside the row (and its leaf
+            # queue has headroom — sub-steps can enqueue up to K leaves
+            # per iteration, so a near-full walker stalls in place until
+            # the flush drains it; stalling never loses work, the next
+            # iteration refetches its current row)
+            S_raw = snode_s[...]
+            ROW0 = jnp.maximum(cur, 0) // 16
+            for _k in range(ribbon_k):
+                c0 = jnp.maximum(cur, 0)
+                part = (
+                    (cur >= 0) & ((c0 // 16) == ROW0) & (qn < QCAP)
+                )
+                cur, q, qn = advance(S_raw, cur, q, qn, (c0 & 15) * 8,
+                                     part)
+            nxt = cur
+        else:
+            RDX0 = rdx_s[:, 0:1]
+            RDY0 = rdy_s[:, 0:1]
+            RDZ0 = rdz_s[:, 0:1]
+            OB = (
+                (RDX0 < 0.0).astype(jnp.int32)
+                + 2 * (RDY0 < 0.0).astype(jnp.int32)
+                + 4 * (RDZ0 < 0.0).astype(jnp.int32)
+            ) * 8
+            amt = (jnp.maximum(cur, 0) & 1) * 64 + OB
+            cur, q, qn = advance(snode_s[...], cur, q, qn, amt,
+                                 cur >= 0)
+            nxt = cur
+        cur_s[...] = cur
+        queue_s[...] = q
+        qn_s[...] = qn
         if pipe:
             # pipelined fetch for the NEXT iteration: the 128 serialized
-            # scalar reads + row copies issue here, BEFORE the enqueue /
-            # flush vector work, INTENDING to overlap the scalar unit's
-            # walk down cur_s with the VPU's queue rolls (the reads
-            # depend on the nxt the VPU just wrote, so whether any
-            # overlap materialises is an empirical question — see the
-            # strand_ab --pipe row in docs/PROFILE_r4.md). install()
-            # re-stages row 0 for refilled walkers, so service (which
-            # runs after this) stays consistent.
+            # scalar reads + row copies issue here, BEFORE the flush /
+            # service vector work, so the scalar unit's walk down cur_s
+            # overlaps the VPU's queue rolls. Measured (strand_ab,
+            # docs/PROFILE_r4.md): 5-8% on captured closest waves (b1c
+            # 18.6 -> 17.7 ms, b2c 14.4 -> 13.5), flat on the shadow
+            # wave; bit-identical on all four waves. install() re-stages
+            # the root row for refilled walkers, so service (which runs
+            # after this) stays consistent.
             for w in range(W):
                 c = jnp.maximum(cur_s[w, 0], 0)
-                snode_s[w : w + 1, :] = tree_ref[pl.ds(c // 2, 1), :]
+                if ribbon:
+                    snode_s[w : w + 1, :] = tree_ref[
+                        pl.ds(obase_smem[w] + c // 16, 1), :
+                    ]
+                else:
+                    snode_s[w : w + 1, :] = tree_ref[pl.ds(c // 2, 1), :]
         if smem_cur:
             # mirror the new fetch indices into SMEM; the copy overlaps
             # the queue/flush phases and is waited before service (whose
             # install() scalar-writes cur_smem AFTER the wait, so the
             # refill reset can never be overwritten by a stale copy)
             pltpu.make_async_copy(cur_s, cur_smem, sem_cur).start()
-        # 4) enqueue leaf visits (LIFO insert at lane 0)
-        enq = pend >= 0
-        q = queue_s[...]
-        q = jnp.where(enq, pltpu.roll(q, 1, 1), q)
-        queue_s[...] = jnp.where(enq & (LANE == 0), pend, q)
-        qn = qn_s[...] + enq.astype(jnp.int32)
-        qn_s[...] = qn
         # 5) flush policy: the block kernel's "flush when EVERY walker
         #    is finished-or-queued" almost never fires under persistent
         #    refill (a just-refilled walker is never ready), so queues
@@ -546,7 +621,8 @@ def _persistent_kernel(
     jax.jit,
     static_argnames=("tmin", "any_hit", "interpret", "walkers",
                      "service_k", "flush_occ", "mixed", "shadow_tmin",
-                     "smem_cur", "smem_pend", "pipe"),
+                     "smem_cur", "smem_pend", "pipe", "ribbon_rpo",
+                     "ribbon_k"),
 )
 def strand_query_persistent(
     tree_rows,
@@ -566,10 +642,20 @@ def strand_query_persistent(
     smem_cur: bool = False,
     smem_pend: bool = False,
     pipe: bool = False,
+    ribbon_rpo: int = 0,
+    ribbon_k: int = 4,
 ):
     """Trace R rays (coherence-sorted; consecutive 128 = one strand)
     with W persistent walkers refilling from an on-device strand queue.
     Same contract and bit-identical results as strand_query.
+
+    ``ribbon_rpo > 0`` selects the ribbon layout (``tree_rows`` must then
+    be RibbonTree.rows with that rows_per_oct): per-octant pre-order
+    renumbered rows of 16 nodes, walked with up to ``ribbon_k`` sub-steps
+    per fetched row. The node-visit sequence per strand is identical to
+    the strand layout's, so results stay bit-identical (sub-stepping only
+    delays best-t shrink / flush timing, which the deferred-queue
+    argument already covers).
 
     ``pipe`` supersedes ``smem_cur``: the pipelined fetch reads cur_s
     directly, so the SMEM mirror would be dead weight (its per-step
@@ -616,6 +702,8 @@ def strand_query_persistent(
         smem_cur=smem_cur,
         smem_pend=smem_pend,
         pipe=pipe,
+        ribbon_rpo=ribbon_rpo,
+        ribbon_k=ribbon_k,
         # generous step bound: every strand could walk every node twice
         # before this trips (a debugging backstop, not a scheduler limit)
         max_iters=max(1_000_000, n_strands * 64),
@@ -664,6 +752,7 @@ def strand_query_persistent(
             pltpu.SMEM((3,), jnp.int32),  # next strand / parked / leaf
             pltpu.SMEM((walkers, 1), jnp.int32),  # cur mirror
             pltpu.SMEM((walkers, 1), jnp.int32),  # pend mirror
+            pltpu.SMEM((walkers,), jnp.int32),  # ribbon octant row base
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),

@@ -284,15 +284,19 @@ def pack_scene(
     # threshold whose table fits the kernel's VMEM budget alongside the
     # leaf rows (beyond-VMEM scenes use the binned path instead).
     strand_rows = None
+    ribbon_rows = None
     strand_bytes = -(-bvh.n_nodes // 2) * 128 * 4
     if (
         not stream
         and n_slots > _sort_min_tris()
         and strand_bytes + leaf_bytes <= 100 * 1024 * 1024
     ):
-        from ..accel.strandtree import build_strand_tree
+        from ..accel.strandtree import build_ribbon_tree, build_strand_tree
 
         strand_rows = build_strand_tree(bvh).rows
+        # same node budget in a different numbering (the kernel loads one
+        # layout, so the VMEM check above covers both)
+        ribbon_rows = build_ribbon_tree(bvh).rows
 
     return ScenePack(
         tri_row=jnp.asarray(tri_row),
@@ -310,6 +314,9 @@ def pack_scene(
             leaf_tris=None if stream else jnp.asarray(leaf_tris),
             strand_rows=(
                 None if strand_rows is None else jnp.asarray(strand_rows)
+            ),
+            ribbon_rows=(
+                None if ribbon_rows is None else jnp.asarray(ribbon_rows)
             ),
         ),
         has_textures=len(scene.textures) > 0,

@@ -100,6 +100,11 @@ class BvhPack:
     # near-first DFS threading per ray-direction octant. None when the
     # scene is under the bounce-sort threshold or past the VMEM budget.
     strand_rows: Any = None  # [ceil(N/2), 128] f32
+    # ribbon layout (accel/strandtree.py RibbonTree): per-octant pre-order
+    # renumbered threading, 16 nodes of one octant per row — hit-chains
+    # advance inside a fetched row without a new scalar fetch
+    # (rows_per_oct = shape[0] // 8). Built whenever strand_rows is.
+    ribbon_rows: Any = None  # [8 * ceil(N/16), 128] f32
 
 
 @_pytree_dataclass(meta_fields=("has_textures", "scene_diag"))

@@ -176,6 +176,89 @@ def test_persistent_strand_matches_strand(
     np.testing.assert_array_equal(np.asarray(t_p), np.asarray(t_ref))
 
 
+@pytest.mark.parametrize(
+    "ribbon_k,walkers,service_k,pipe",
+    [
+        (1, 8, 2, False),   # degenerate K: one sub-step per fetch
+        (4, 8, 2, False),   # small pool forces many refills
+        (4, 16, 4, True),   # production shape: ribbon + pipelined fetch
+        (8, 8, 2, True),    # max sub-steps, queue-headroom stalls likely
+    ],
+)
+@pytest.mark.slow
+def test_persistent_ribbon_matches_strand(ribbon_k, walkers, service_k,
+                                          pipe):
+    """The ribbon layout (per-octant pre-order renumbering, K sub-steps
+    per fetched 16-node row) must stay BIT-identical to strand_query:
+    the node-visit sequence per strand is the same, only fetch grouping
+    and leaf-enqueue timing differ (the deferred-queue argument covers
+    both)."""
+    from raytpu.accel.strandtree import (
+        build_ribbon_tree, validate_ribbon_tree,
+    )
+    from raytpu.kernels.strand_persistent import strand_query_persistent
+
+    p0, e1, e2 = _scene(600, seed=11)
+    bvh, _ = build_bvh(p0, e1, e2)
+    tree = build_strand_tree(bvh)
+    ribbon = build_ribbon_tree(bvh)
+    validate_ribbon_tree(ribbon, tree, bvh)
+    ro, rd = _rays(4096, seed=7)
+    ro, rd = _sort_octant(ro, rd)
+    leaf, *_ = _leaf_rows(p0, e1, e2, bvh)
+    tmax = np.full(4096, 3.40282347e38, np.float32)
+    tmax[::9] = -np.inf
+    rays = (*(jnp.asarray(ro[:, a]) for a in range(3)),
+            *(jnp.asarray(rd[:, a]) for a in range(3)),
+            jnp.asarray(tmax))
+    t_ref, tri_ref = strand_query(
+        jnp.asarray(tree.rows), jnp.asarray(leaf), *rays,
+        tmin=0.001, interpret=True,
+    )
+    t_r, tri_r = strand_query_persistent(
+        jnp.asarray(ribbon.rows), jnp.asarray(leaf), *rays,
+        tmin=0.001, interpret=True, walkers=walkers,
+        service_k=service_k, pipe=pipe,
+        ribbon_rpo=ribbon.rows_per_oct, ribbon_k=ribbon_k,
+    )
+    np.testing.assert_array_equal(np.asarray(tri_r), np.asarray(tri_ref))
+    np.testing.assert_array_equal(np.asarray(t_r), np.asarray(t_ref))
+
+
+@pytest.mark.slow
+def test_persistent_ribbon_any_hit_matches_strand():
+    """Ribbon any-hit (shadow) blocking must match strand_query; the
+    early-park path (all lanes blocked-or-dead) interacts with sub-step
+    participation masks."""
+    from raytpu.accel.strandtree import build_ribbon_tree
+    from raytpu.kernels.strand_persistent import strand_query_persistent
+
+    p0, e1, e2 = _scene(800, seed=3)
+    bvh, _ = build_bvh(p0, e1, e2)
+    tree = build_strand_tree(bvh)
+    ribbon = build_ribbon_tree(bvh)
+    ro, rd = _rays(1024, seed=5)
+    ro, rd = _sort_octant(ro, rd)
+    leaf, *_ = _leaf_rows(p0, e1, e2, bvh)
+    tmax = np.full(1024, 6.0, np.float32)
+    tmax[::5] = -np.inf
+    rays = (*(jnp.asarray(ro[:, a]) for a in range(3)),
+            *(jnp.asarray(rd[:, a]) for a in range(3)),
+            jnp.asarray(tmax))
+    _, tri_ref = strand_query(
+        jnp.asarray(tree.rows), jnp.asarray(leaf), *rays,
+        tmin=0.0, any_hit=True, interpret=True,
+    )
+    _, tri_r = strand_query_persistent(
+        jnp.asarray(ribbon.rows), jnp.asarray(leaf), *rays,
+        tmin=0.0, any_hit=True, interpret=True, walkers=16,
+        service_k=4, ribbon_rpo=ribbon.rows_per_oct, ribbon_k=4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tri_r) >= 0, np.asarray(tri_ref) >= 0
+    )
+
+
 @pytest.mark.parametrize("pipe", [False, True])
 @pytest.mark.slow
 def test_persistent_strand_small_wave_and_any_hit(pipe):
