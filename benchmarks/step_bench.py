@@ -15,6 +15,11 @@ structural piece of the per-step body on dummy (W, 128) VMEM state:
   rollq   — roll chain + queue only (no slab)
   fetch   — the serialized 128-iteration scalar fetch loop only
             (dynamic-slice row copies VMEM -> VMEM, what pipe overlaps)
+  mt      — one full leaf_phase: serialized per-walker leaf-row fetch +
+            the 8-slot Moller-Trumbore pass at (W, 128) + best updates
+            (cost is per FLUSH, so divide by leaves served per flush)
+  install — one walker install(): 7 staged row copies + 3 safe-inverse
+            rows + state init (cost is per REFILL)
 
 Numbers are cycles per walker-step at 940 MHz (v5e), RPC floor
 subtracted, median of chained repeats. The arms do NOT compute real
@@ -115,6 +120,64 @@ def _kernel(tree_ref, out_ref, scratch, arm: str, iters: int, W: int):
                 c = (cur[0, 0] + w) & 1023
                 scratch[w : w + 1, :] = tree_ref[pl.ds(c, 1), :]
             acc = acc + scratch[0:1, 0:1]
+        if arm == "mt":
+            # the persistent kernel's leaf_phase shape: W serialized
+            # leaf-row fetches + LEAF_SIZE Moller-Trumbore slots on
+            # (W, 128) state (kernels/strand_persistent.py leaf_phase)
+            for w in range(W):
+                lr = (cur[0, 0] + w) & 1023
+                scratch[w : w + 1, :] = tree_ref[pl.ds(lr, 1), :]
+            L = scratch[...]
+            RO = S0 * 0.25
+            RD = S0 + 1.0
+            best_t = S0[:, 8:9] + 1e3
+            best_tri = (S0[:, 9:10] * 10.0).astype(jnp.int32)
+            for k in range(8):
+                b = 10 * k
+                p0 = L[:, b : b + 1]
+                e1 = L[:, b + 3 : b + 4]
+                e2 = L[:, b + 6 : b + 7]
+                # same op count as the real pass: 3 cross products,
+                # 3 dots, det/inv, u/v/t, range + tie-break compares —
+                # expressed on (W,1) columns broadcast over the 128-wide
+                # rows exactly like the real kernel's L columns
+                pvx = RD * e2 - RD * p0
+                pvy = RD * e1 - RD * e2
+                pvz = RD * p0 - RD * e1
+                det = e1 * pvx + e2 * pvy + p0 * pvz
+                inv = 1.0 / det
+                tvx = RO - p0
+                tvy = RO - e1
+                tvz = RO - e2
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+                qx = tvy * e2 - tvz * e1
+                qy = tvz * p0 - tvx * e2
+                qz = tvx * e1 - tvy * p0
+                v = (RD * qx + RD * qy + RD * qz) * inv
+                t = (e2 * qx + e1 * qy + p0 * qz) * inv
+                ok = (
+                    (det != 0.0) & (u >= 0.0) & (v >= 0.0)
+                    & (u + v <= 1.0) & (t >= 0.001)
+                    & ((t < best_t) | ((t == best_t)
+                                       & (cur + k < best_tri)))
+                )
+                best_t = jnp.where(ok, t, best_t)
+                best_tri = jnp.where(ok, cur + k, best_tri)
+            acc = acc + best_t * 1e-12 + best_tri.astype(jnp.float32) * 1e-12
+        if arm == "install":
+            # one walker's install(): 7 row moves + 3 safe-inv rows +
+            # best/queue init, repeated for ONE walker per iteration
+            w = 0
+            for src in range(7):
+                scratch[w : w + 1, :] = tree_ref[
+                    pl.ds((cur[0, 0] + src) & 1023, 1), :
+                ]
+            row = scratch[w : w + 1, :]
+            safe = 1.0 / jnp.where(
+                row == 0.0, jnp.where(1.0 / row < 0.0, -1e-36, 1e-36), row
+            )
+            scratch[w : w + 1, :] = safe
+            acc = acc + safe[0:1, 0:1] * 1e-20
         # carry a perturbation back so iterations are serialized
         scratch[0:1, 0:1] = acc[0:1, :] * 1e-20 + scratch[0:1, 0:1]
         return 0
@@ -130,7 +193,7 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--arms", nargs="*",
                     default=["full", "noroll", "roll2", "slab", "rollq",
-                             "fetch"])
+                             "fetch", "mt", "install"])
     args = ap.parse_args()
     W = args.walkers
 
@@ -157,8 +220,8 @@ def main():
         fn = pl.pallas_call(
             functools.partial(_kernel, arm=arm, iters=args.iters, W=W),
             out_shape=jax.ShapeDtypeStruct((W, 128), jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((W, 128), jnp.float32)],
         )
         run = jax.jit(lambda t, fn=fn: jnp.sum(fn(t)))

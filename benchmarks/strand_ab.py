@@ -56,6 +56,10 @@ def main():
     ap.add_argument("--ribbon", type=int, default=0, metavar="K",
                     help="ribbon layout with K sub-steps per fetched "
                          "16-node row (0 = strand layout)")
+    ap.add_argument("--stats", action="store_true",
+                    help="print per-wave event counters (iterations, "
+                         "flushes, services, installs, leaf pops, "
+                         "enqueues) from the stats kernel variant")
     ap.add_argument("--inner", type=int, default=8,
                     help="device-side chained repeats per timing (waves "
                          "are ~RPC-floor-sized; chaining is the only "
@@ -121,6 +125,33 @@ def main():
                 tmin=tmin, any_hit=any_hit,
             )
 
+        if args.stats:
+            t_s, tri_s, st = strand_query_persistent(
+                ptree, leaves, ro[:, 0], ro[:, 1], ro[:, 2],
+                rd[:, 0], rd[:, 1], rd[:, 2], tmax,
+                tmin=tmin, any_hit=any_hit,
+                walkers=args.walkers, service_k=args.service_k,
+                flush_occ=args.flush, smem_cur=args.smem_cur,
+                smem_pend=args.smem_pend, pipe=args.pipe,
+                ribbon_rpo=ribbon_rpo,
+                ribbon_k=args.ribbon if args.ribbon else 4,
+                stats=True,
+            )
+            st = np.asarray(st)
+            iters, fl, sv, ins, pops, enq = (int(x) for x in st[:6])
+            n_str = -(-n // 128)
+            log(f"[stats] {name}: iters={iters} flushes={fl} "
+                f"services={sv} installs={ins} pops={pops} enq={enq} "
+                f"strands={n_str} "
+                f"(walker-steps/strand={iters * args.walkers / n_str:.0f},"
+                f" pops/flush={pops / max(fl, 1):.1f},"
+                f" iters/flush={iters / max(fl, 1):.2f},"
+                f" installs/service={ins / max(sv, 1):.1f})")
+            # stats instrumentation must not perturb results
+            t_p, tri_p = persist_q(tmax)
+            assert (np.asarray(tri_p) == np.asarray(tri_s)).all(), (
+                f"{name}: stats variant changed tri"
+            )
         arms = [("persist", persist_q)]
         if args.block or args.check:
             arms.append(("block", block_q))

@@ -580,6 +580,46 @@ def _shade_core(pack: ScenePack, ro, rd, hit, rng, active):
     )
 
 
+def _compact_tiers(r: int):
+    """Live-prefix tier sizes for the compact/fused wave modes: multiples
+    of 256 covering r/d for each divisor (RAYTPU_COMPACT_DIV), sorted
+    ascending, excluding r itself. Empty below 2048 lanes (tiny waves
+    never win from tiering)."""
+    divs = [
+        int(d) for d in os.environ.get(
+            "RAYTPU_COMPACT_DIV", "16,4,2"
+        ).split(",") if int(d) > 1
+    ] if r >= 2048 else []
+    return sorted({min(-(-(r // d) // 256) * 256, r) for d in divs} - {r})
+
+
+def _bounce_work(pack: ScenePack, b_closest, b_any, sop, sdp, rngp,
+                 alivep):
+    """One bounce's query + shade + NEE at whatever width the caller
+    chose (the live prefix of a coherence-sorted wave): closest query,
+    shading, shadow query, radiance delta. Shared by the compact and
+    fused wave modes — per-lane math only, so safe at any width/order.
+    Returns (delta3, mult3, next_ro, next_rd, bounce_on, rng)."""
+    NEG_INF = jnp.float32(-jnp.inf)
+    tm = jnp.where(alivep, F32_MAX, NEG_INF)
+    hit = b_closest(sop, sdp, 0.001, tm)
+    active = alivep & hit.valid
+    sh = _shade_core(pack, sop, sdp, hit, rngp, active)
+    bounce_on = sh["bounce_on"]
+    shadow_tmax = jnp.where(bounce_on, sh["dist"], NEG_INF)
+    blocked = _sorted_query(
+        b_any, pack, sh["p"], sh["ldir"], 0.0,
+        shadow_tmax, bounce_on, False,
+    )
+    delta = sh["emissive_delta"][:, :3] + jnp.where(
+        (bounce_on & ~blocked)[:, None], sh["contrib"][:, :3], 0.0
+    )
+    mult = sh["att_mult"][:, :3]
+    nro = jnp.where(bounce_on[:, None], sh["p"], sop)
+    nrd = jnp.where(bounce_on[:, None], sh["scattered"], sdp)
+    return delta, mult, nro, nrd, bounce_on, sh["rng"]
+
+
 def _trace_paths(
     pack: ScenePack, closest, any_hit, ro, rd, rng, bounces: int,
     count_mask=None, mask=None, sort_bounced=False, mixed_fn=None,
@@ -816,29 +856,15 @@ def _trace_paths(
         alive_s = key_s != DEAD
 
         def run_at(p):
-            sop, sdp = so[:p], sd[:p]
-            alivep = alive_s[:p]
-            tm = jnp.where(alivep, F32_MAX, NEG_INF)
-            hit = b_closest(sop, sdp, 0.001, tm)
-            active = alivep & hit.valid
-            sh = _shade_core(pack, sop, sdp, hit, rng_s[:p], active)
-            bounce_on = sh["bounce_on"]
-            shadow_tmax = jnp.where(bounce_on, sh["dist"], NEG_INF)
-            blocked = _sorted_query(
-                b_any, pack, sh["p"], sh["ldir"], 0.0,
-                shadow_tmax, bounce_on, False,
+            delta, mult, nro, nrd, bounce_on, rng_p = _bounce_work(
+                pack, b_closest, b_any, so[:p], sd[:p], rng_s[:p],
+                alive_s[:p],
             )
-            delta = sh["emissive_delta"][:, :3] + jnp.where(
-                (bounce_on & ~blocked)[:, None], sh["contrib"][:, :3], 0.0
-            )
-            mult = sh["att_mult"][:, :3]
-            nro = jnp.where(bounce_on[:, None], sh["p"], sop)
-            nrd = jnp.where(bounce_on[:, None], sh["scattered"], sdp)
             cols = [delta[:, 0], delta[:, 1], delta[:, 2],
                     mult[:, 0], mult[:, 1], mult[:, 2],
                     nro[:, 0], nro[:, 1], nro[:, 2],
                     nrd[:, 0], nrd[:, 1], nrd[:, 2],
-                    bounce_on.astype(jnp.int32), sh["rng"]]
+                    bounce_on.astype(jnp.int32), rng_p]
             if p < r:
                 # tail lanes are dead: zero delta, mult masked by the
                 # bounce flag, state passes through untouched
@@ -856,14 +882,7 @@ def _trace_paths(
         # (each tier is its own compiled pipeline — the live fraction
         # collapses fast after bounce 1, so late bounces ride the small
         # tiers). RAYTPU_COMPACT_DIV overrides the divisor list.
-        divs = [
-            int(d) for d in os.environ.get(
-                "RAYTPU_COMPACT_DIV", "16,4,2"
-            ).split(",") if int(d) > 1
-        ] if r >= 2048 else []
-        tiers = sorted({
-            min(-(-(r // d) // 256) * 256, r) for d in divs
-        } - {r})
+        tiers = _compact_tiers(r)
         n_alive = jnp.sum(alive.astype(jnp.int32))
         if eager:
             # wave capture runs outside jit; lax.cond would trace the
@@ -906,6 +925,142 @@ def _trace_paths(
         rd = jnp.stack([e0, e1, e2], axis=-1)
         return ro, rd, rng_n, radiance, attenuation, alive_u
 
+    def fused_step(carry):
+        """RAYTPU_WAVE_MODE=fused: compact's live-prefix execution
+        WITHOUT the per-bounce unsort. The wave stays in coherence-sorted
+        order across bounces (like resort mode): each bounce sorts only
+        the PREVIOUS bounce's work-tier window (live lanes are confined
+        to that prefix — everything past it was dead-parked with its
+        final state by an earlier sort), runs the whole pipeline at the
+        new live prefix, and leaves lane order permuted; ONE 5-operand
+        unsort at path exit restores pixel order via the carried pxi.
+
+        vs compact, per bounce this removes: two full-width unsort
+        passes (7 + 9 operands), the full-width radiance/attenuation
+        updates after them, and shrinks the in-sort from full width to
+        the previous prefix. Bit-identity: per-lane math (RNG replay,
+        radiance add order emissive_b-then-NEE_b) never depends on lane
+        position or wave width; the sort pair (key, pxi) is a unique
+        2-level key so both payload sorts apply the same permutation;
+        the final unsort is an exact inverse (pxi is a permutation of
+        iota). The reference keeps path state in registers across its
+        bounce loop and pays nothing to reorder
+        (/root/reference/src/shader.wgsl:321-381); this is the sorted-
+        wavefront analogue.
+
+        Carry: (ro, rd, rng, rad3, att3, alive, pxi[, cmask], tier) —
+        radiance/attenuation ride as 3 columns (their w columns are
+        invariant 0, see compact_step's unsort) and ``tier`` is the
+        index into windows = tiers + [r] of this bounce's sort window.
+        """
+        if has_cmask:
+            ro, rd, rng, rad, att, alive, pxi, cmask, tier_prev = carry
+        else:
+            ro, rd, rng, rad, att, alive, pxi, tier_prev = carry
+            cmask = None
+        tiers = _compact_tiers(r)
+        windows = tiers + [r]
+        DEAD = jnp.int32(1 << (3 * _morton_bits() + 3))
+
+        def sort_at(wsz):
+            """Coherence-sort the first ``wsz`` lanes (dead to the tail),
+            pass the rest through untouched."""
+            key = _ray_sort_key(pack, ro[:wsz], rd[:wsz], alive[:wsz])
+            a = jax.lax.sort(
+                (key, pxi[:wsz], ro[:wsz, 0], ro[:wsz, 1], ro[:wsz, 2],
+                 rd[:wsz, 0], rd[:wsz, 1], rd[:wsz, 2], rng[:wsz]),
+                num_keys=2,
+            )
+            (key_s, pxi_w, ox, oy, oz, dx, dy, dz, rng_w) = a
+            b_ops = [key, pxi[:wsz], rad[:wsz, 0], rad[:wsz, 1],
+                     rad[:wsz, 2], att[:wsz, 0], att[:wsz, 1],
+                     att[:wsz, 2]]
+            if has_cmask:
+                b_ops.append(cmask[:wsz])
+            b = jax.lax.sort(tuple(b_ops), num_keys=2)
+            (_, _, q0, q1, q2, a0, a1, a2) = b[:8]
+            cm_w = b[8] if has_cmask else None
+
+            def full(pref, tail):
+                return (jnp.concatenate([pref, tail], axis=0)
+                        if wsz < r else pref)
+
+            out = (
+                full(jnp.stack([ox, oy, oz], axis=-1), ro[wsz:]),
+                full(jnp.stack([dx, dy, dz], axis=-1), rd[wsz:]),
+                full(rng_w, rng[wsz:]),
+                full(jnp.stack([q0, q1, q2], axis=-1), rad[wsz:]),
+                full(jnp.stack([a0, a1, a2], axis=-1), att[wsz:]),
+                # lanes beyond the window are dead by the invariant
+                full(key_s != DEAD, alive[wsz:]),
+                full(pxi_w, pxi[wsz:]),
+            )
+            if has_cmask:
+                out = out + (full(cm_w, cmask[wsz:]),)
+            return out
+
+        if eager:
+            state = sort_at(windows[int(tier_prev)])
+        else:
+            state = jax.lax.switch(
+                tier_prev, [lambda w=w: sort_at(w) for w in windows]
+            )
+        if has_cmask:
+            ro, rd, rng, rad, att, alive, pxi, cmask = state
+        else:
+            ro, rd, rng, rad, att, alive, pxi = state
+
+        n_alive = jnp.sum(alive.astype(jnp.int32))
+
+        def run_at(p):
+            delta, mult, nro, nrd, bounce_on, rng_p = _bounce_work(
+                pack, b_closest, b_any, ro[:p], rd[:p], rng[:p],
+                alive[:p],
+            )
+
+            def full(pref, tail):
+                return (jnp.concatenate([pref, tail], axis=0)
+                        if p < r else pref)
+
+            att_p = jnp.where(
+                bounce_on[:, None], att[:p] * mult, att[:p]
+            )
+            return (
+                full(nro, ro[p:]),
+                full(nrd, rd[p:]),
+                full(rng_p, rng[p:]),
+                full(rad[:p] + delta, rad[p:]),
+                full(att_p, att[p:]),
+                # the tail is all dead: n_alive <= p and the window sort
+                # parked dead lanes behind the live prefix
+                full(bounce_on, alive[p:]),
+            )
+
+        if eager:
+            p_pick = r
+            for p in tiers:
+                if bool(n_alive <= p):
+                    p_pick = p
+                    break
+            ro, rd, rng, rad, att, alive = run_at(p_pick)
+        else:
+            branch = lambda: run_at(r)  # noqa: E731 — innermost: full
+            for p in sorted(tiers, reverse=True):
+                def branch(p=p, inner=branch):
+                    return jax.lax.cond(
+                        n_alive <= p, lambda: run_at(p), inner
+                    )
+            ro, rd, rng, rad, att, alive = branch()
+
+        # next bounce's sort window = the work tier just used (live lanes
+        # live inside it): index of the first window >= n_alive
+        new_tier = jnp.int32(0)
+        for t in tiers:
+            new_tier = new_tier + (n_alive > t).astype(jnp.int32)
+        if has_cmask:
+            return ro, rd, rng, rad, att, alive, pxi, cmask, new_tier
+        return ro, rd, rng, rad, att, alive, pxi, new_tier
+
     use_mixed = mixed_fn is not None and bounces > 0
     # bounce-wave scheduling mode (RAYTPU_WAVE_MODE):
     #   query   — per-query sort in / unsort out, full-width shading
@@ -913,6 +1068,9 @@ def _trace_paths(
     #             (measured loss at full width, kept for A/B evidence)
     #   compact — per-bounce in-sort reused as live-prefix compaction:
     #             queries AND shading run at live width
+    #   fused   — compact without the per-bounce unsort: the wave stays
+    #             sorted across bounces (sort window = previous work
+    #             tier), ONE unsort at path exit
     # Default is wave-width gated (round-4 frame A/Bs, docs/PROFILE_r4.md):
     # compact wins on the 2.07M-lane headline (726 -> 694 ms) but LOSES on
     # small waves (multi 65k lanes: 19.2 -> 22.4 ms with compact+pipe) —
@@ -923,6 +1081,7 @@ def _trace_paths(
     )
     persistent = sort_bounced and not use_mixed and wave_mode == "resort"
     compact = sort_bounced and not use_mixed and wave_mode == "compact"
+    fused = sort_bounced and not use_mixed and wave_mode == "fused"
     if use_mixed:
         z3 = jnp.zeros_like(ro)
         pend0 = (
@@ -1003,8 +1162,20 @@ def _trace_paths(
             carry = carry + (jax.lax.iota(jnp.int32, r),)
             if has_cmask:
                 carry = carry + (count_mask,)
+        if fused:
+            # 3-col radiance/attenuation (w columns are invariant 0),
+            # original pixel index, and the first sort window = full r
+            # (every lane may be alive after bounce 0)
+            ro_c, rd_c, rng_c, rad_c, att_c, alive_c = carry
+            carry = (ro_c, rd_c, rng_c, rad_c[:, :3], att_c[:, :3],
+                     alive_c, jax.lax.iota(jnp.int32, r))
+            if has_cmask:
+                carry = carry + (count_mask,)
+            carry = carry + (jnp.int32(len(_compact_tiers(r))),)
         if compact:
             stepb = compact_step
+        elif fused:
+            stepb = fused_step
         else:
             stepb = partial(
                 bounce_step,
@@ -1018,7 +1189,7 @@ def _trace_paths(
                 use_bounce_pair=True,
                 persistent_sort=persistent,
             )
-        count_in_carry = persistent and has_cmask
+        count_in_carry = (persistent or fused) and has_cmask
         if eager or os.environ.get("RAYTPU_UNROLL_BOUNCES"):
             for _ in range(1, bounces):
                 carry, n_rays = _guarded(
@@ -1065,6 +1236,21 @@ def _trace_paths(
             radiance = jax.lax.cond(
                 jnp.any(p_on), resolve_last, lambda rad: rad, radiance
             )
+    elif fused and bounces > 1:
+        if has_cmask:
+            _, _, rng, rad3, att3, _, pxi, _, _ = carry
+        else:
+            _, _, rng, rad3, att3, _, pxi, _ = carry
+        # ONE unsort for the whole path: radiance*attenuation first so
+        # only 3 colour columns + the RNG state ride it (w is 0 always)
+        out3 = rad3 * att3
+        _, o0, o1, o2, rng = jax.lax.sort(
+            (pxi, out3[:, 0], out3[:, 1], out3[:, 2], rng), num_keys=1
+        )
+        out = jnp.stack([o0, o1, o2, jnp.zeros_like(o0)], axis=-1)
+        if n_rays is not None:
+            return out, rng, n_rays
+        return out, rng
     elif persistent and bounces > 1:
         if has_cmask:
             _, _, rng, radiance, attenuation, _, pxi, _ = carry

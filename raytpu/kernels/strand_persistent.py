@@ -56,30 +56,7 @@ def _persistent_kernel(
     #            rdx rdy rdz tmax pad
     t_ref,  # [S, 128] f32 ANY out
     tri_ref,  # [S, 128] i32 ANY out
-    # scratch
-    rox_s, roy_s, roz_s, rdx_s, rdy_s, rdz_s, tmax_s,  # (W,128) f32
-    idx_s, idy_s, idz_s,  # (W,128) f32 — safe inverse directions
-    bt_s, btr_s,  # (W,128) f32/i32 — best t / best tri
-    stt_s, sti_s,  # (W,128) f32/i32 — out staging
-    stin_s,  # (W*8, 128) f32 — in staging
-    snode_s,  # (W,128) f32
-    sleaf_s,  # (W,128) f32
-    queue_s,  # (W,128) i32
-    qn_s, cur_s, pend_s, act_s,  # (W,1) i32
-    ah_s,  # (W,128) f32 — per-lane any-hit flag (mixed mode; zeros else)
-    sid_smem,  # SMEM (W,) i32 — current strand id per walker
-    flags_smem,  # SMEM (W,) i32 — 0 idle, 1 serviced+refilled,
-    #              2 serviced+parked
-    ctr_smem,  # SMEM (3,) i32 — [next strand, walkers parked,
-    #            deferred-leaf pending]
-    cur_smem,  # SMEM (W,1) i32 — scalar mirror of cur_s (fetch indices)
-    pend_smem,  # SMEM (W,1) i32 — scalar mirror of pend_s (leaf rows)
-    obase_smem,  # SMEM (W,) i32 — ribbon: per-walker octant row base
-    sem_in,  # DMA, shared by all in-copies (waits match starts 1:1)
-    sem_out,  # DMA, shared by all out-copies
-    sem_cur,  # DMA for the per-step cur_s -> cur_smem mirror copy
-    sem_pend,  # DMA for the per-flush pend_s -> pend_smem mirror copy
-    *,
+    *refs,  # [stats_ref (8,) SMEM i32 out when stats] + scratch
     n_strands: int,
     tmin: float,
     any_hit: bool,
@@ -94,7 +71,35 @@ def _persistent_kernel(
     pipe: bool,
     ribbon_rpo: int,
     ribbon_k: int,
+    stats: bool,
 ):
+    if stats:
+        stats_ref, *refs = refs
+    (
+        rox_s, roy_s, roz_s, rdx_s, rdy_s, rdz_s, tmax_s,  # (W,128) f32
+        idx_s, idy_s, idz_s,  # (W,128) f32 — safe inverse directions
+        bt_s, btr_s,  # (W,128) f32/i32 — best t / best tri
+        stt_s, sti_s,  # (W,128) f32/i32 — out staging
+        stin_s,  # (W*8, 128) f32 — in staging
+        snode_s,  # (W,128) f32
+        sleaf_s,  # (W,128) f32
+        queue_s,  # (W,128) i32
+        qn_s, cur_s, pend_s, act_s,  # (W,1) i32
+        ah_s,  # (W,128) f32 — per-lane any-hit flag (mixed; zeros else)
+        sid_smem,  # SMEM (W,) i32 — current strand id per walker
+        flags_smem,  # SMEM (W,) i32 — 0 idle, 1 serviced+refilled,
+        #              2 serviced+parked
+        ctr_smem,  # SMEM (8,) i32 — [next strand, walkers parked,
+        #            deferred-leaf pending, flushes, services, installs,
+        #            leaf pops, enqueues]
+        cur_smem,  # SMEM (W,1) i32 — scalar mirror of cur_s (fetch idx)
+        pend_smem,  # SMEM (W,1) i32 — scalar mirror of pend_s
+        obase_smem,  # SMEM (W,) i32 — ribbon: per-walker octant row base
+        sem_in,  # DMA, shared by all in-copies (waits match starts 1:1)
+        sem_out,  # DMA, shared by all out-copies
+        sem_cur,  # DMA for the per-step cur_s -> cur_smem mirror copy
+        sem_pend,  # DMA for the per-flush pend_s -> pend_smem mirror
+    ) = refs
     W = walkers
     # ribbon mode (accel/strandtree.py RibbonTree): tree_ref rows pack 16
     # nodes of ONE octant in that octant's near-first DFS pre-order
@@ -175,6 +180,12 @@ def _persistent_kernel(
     ctr_smem[0] = n0
     ctr_smem[1] = W - n0
     ctr_smem[2] = 0
+    if stats:
+        ctr_smem[3] = 0  # flushes
+        ctr_smem[4] = 0  # services
+        ctr_smem[5] = n0  # installs
+        ctr_smem[6] = 0  # leaf pops
+        ctr_smem[7] = 0  # enqueues
     for w in range(W):
         flags_smem[w] = 0
         if w < n0:
@@ -411,6 +422,8 @@ def _persistent_kernel(
 
         q = queue_s[...]
         qn = qn_s[...]
+        if stats:
+            qn0_sum = jnp.sum(qn)
         if ribbon:
             # up to ribbon_k sub-steps on the one fetched row: the walk
             # participates while it stays inside the row (and its leaf
@@ -444,6 +457,8 @@ def _persistent_kernel(
         cur_s[...] = cur
         queue_s[...] = q
         qn_s[...] = qn
+        if stats:
+            ctr_smem[7] = ctr_smem[7] + (jnp.sum(qn) - qn0_sum)
         if pipe:
             # pipelined fetch for the NEXT iteration: the 128 serialized
             # scalar reads + row copies issue here, BEFORE the flush /
@@ -489,6 +504,11 @@ def _persistent_kernel(
             qf = queue_s[...]
             qnf = qn_s[...]
             popped = qnf > 0
+            if stats:
+                ctr_smem[3] = ctr_smem[3] + 1
+                ctr_smem[6] = ctr_smem[6] + jnp.sum(
+                    popped.astype(jnp.int32)
+                )
             pend_s[...] = jnp.where(popped, qf[:, 0:1], -1)
             queue_s[...] = jnp.where(popped, pltpu.roll(qf, 127, 1), qf)
             qn_s[...] = qnf - popped.astype(jnp.int32)
@@ -521,6 +541,8 @@ def _persistent_kernel(
 
         @pl.when(do_service)
         def _():
+            if stats:
+                ctr_smem[4] = ctr_smem[4] + 1
             # pass 1: stage + start all out/in copies (they overlap
             # across the whole service batch)
             for w in range(W):
@@ -598,6 +620,8 @@ def _persistent_kernel(
                         sem_in,
                     ).wait()
                     install(w)
+                    if stats:
+                        ctr_smem[5] = ctr_smem[5] + 1
 
             for w in range(W):
                 @pl.when(flags_smem[w] >= 1)
@@ -612,9 +636,18 @@ def _persistent_kernel(
         it, parked = carry
         return (parked < W) & (it < max_iters)
 
-    lax.while_loop(cond, body, (jnp.int32(0), ctr_smem[1]))
+    final_it, _ = lax.while_loop(cond, body, (jnp.int32(0), ctr_smem[1]))
     # no post-loop drain needed: every service batch waits its own
     # out-copies before the next step
+    if stats:
+        stats_ref[0] = final_it
+        stats_ref[1] = ctr_smem[3]  # flushes
+        stats_ref[2] = ctr_smem[4]  # services
+        stats_ref[3] = ctr_smem[5]  # installs
+        stats_ref[4] = ctr_smem[6]  # leaf pops
+        stats_ref[5] = ctr_smem[7]  # enqueues
+        stats_ref[6] = 0
+        stats_ref[7] = 0
 
 
 @functools.partial(
@@ -622,7 +655,7 @@ def _persistent_kernel(
     static_argnames=("tmin", "any_hit", "interpret", "walkers",
                      "service_k", "flush_occ", "mixed", "shadow_tmin",
                      "smem_cur", "smem_pend", "pipe", "ribbon_rpo",
-                     "ribbon_k"),
+                     "ribbon_k", "stats"),
 )
 def strand_query_persistent(
     tree_rows,
@@ -644,6 +677,7 @@ def strand_query_persistent(
     pipe: bool = False,
     ribbon_rpo: int = 0,
     ribbon_k: int = 4,
+    stats: bool = False,
 ):
     """Trace R rays (coherence-sorted; consecutive 128 = one strand)
     with W persistent walkers refilling from an on-device strand queue.
@@ -704,25 +738,34 @@ def strand_query_persistent(
         pipe=pipe,
         ribbon_rpo=ribbon_rpo,
         ribbon_k=ribbon_k,
+        stats=stats,
         # generous step bound: every strand could walk every node twice
         # before this trips (a debugging backstop, not a scheduler limit)
         max_iters=max(1_000_000, n_strands * 64),
     )
-    t, tri = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_strands, 128), jnp.float32),
+        jax.ShapeDtypeStruct((n_strands, 128), jnp.int32),
+    ]
+    if stats:
+        # event counters for the cost-model decomposition
+        # (benchmarks/step_bench.py unit costs x these counts):
+        # [iterations, flushes, services, installs, leaf pops, enqueues]
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((8,), jnp.int32))
+    outs = pl.pallas_call(
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_strands, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_strands, 128), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((walkers, 128), jnp.float32),  # rox
             pltpu.VMEM((walkers, 128), jnp.float32),  # roy
@@ -749,7 +792,8 @@ def strand_query_persistent(
             pltpu.VMEM((walkers, 128), jnp.float32),  # any-hit flags
             pltpu.SMEM((walkers,), jnp.int32),  # strand id
             pltpu.SMEM((walkers,), jnp.int32),  # have_out/refilled
-            pltpu.SMEM((3,), jnp.int32),  # next strand / parked / leaf
+            pltpu.SMEM((8,), jnp.int32),  # next strand / parked / leaf
+            #   + stats counters (flushes/services/installs/pops/enq)
             pltpu.SMEM((walkers, 1), jnp.int32),  # cur mirror
             pltpu.SMEM((walkers, 1), jnp.int32),  # pend mirror
             pltpu.SMEM((walkers,), jnp.int32),  # ribbon octant row base
@@ -763,4 +807,7 @@ def strand_query_persistent(
         ),
         interpret=interpret,
     )(tree_rows, leaf_tris, rays8)
+    t, tri = outs[0], outs[1]
+    if stats:
+        return t.reshape(r_pad)[:r], tri.reshape(r_pad)[:r], outs[2]
     return t.reshape(r_pad)[:r], tri.reshape(r_pad)[:r]

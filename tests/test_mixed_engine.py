@@ -108,6 +108,32 @@ def test_compact_wave_mode_matches_legacy(monkeypatch):
     assert_images_equiv(ref, compact)
 
 
+@pytest.mark.slow
+def test_fused_wave_mode_matches_legacy(monkeypatch):
+    """RAYTPU_WAVE_MODE=fused keeps the wave in coherence-sorted order
+    ACROSS bounces (compact without the per-bounce unsort): each bounce
+    sorts only the previous work-tier window via lax.switch, runs the
+    pipeline at the live prefix, and one 5-operand unsort at path exit
+    restores pixel order. Per-lane math is order/width-independent and
+    (key, pxi) is a unique 2-level sort key, so the frame must match the
+    plain XLA walk exactly. Tiny divisors + walker pool force multiple
+    windows, tiers and refills to execute."""
+    monkeypatch.setenv("RAYTPU_WAVE_MODE", "fused")
+    monkeypatch.setenv("RAYTPU_COMPACT_DIV", "8,2")
+    monkeypatch.setenv("RAYTPU_STRAND_WALKERS", "8")
+    monkeypatch.setenv("RAYTPU_STRAND_SERVICE_K", "2")
+    scene, pack = cached_atrium_pack(5000)
+    cam = pack_camera(scene.camera)
+    kw = dict(width=64, height=32, seed=3, samples=1, bounces=3,
+              chunk_size=8)
+    ref = render_frame(pack, cam, raytpu.RenderConfig(**kw,
+                                                      intersector="bvh"))
+    fused = render_frame(
+        pack, cam, raytpu.RenderConfig(**kw, intersector="packet")
+    )
+    assert_images_equiv(ref, fused)
+
+
 def test_small_scene_strand_routing_matches_legacy():
     """The round-3 threshold drop (4096 -> 256 slots, PROFILE_r3.md
     finding 3) put small BVH scenes on sorted strand bounces too; the
