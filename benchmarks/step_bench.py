@@ -163,7 +163,12 @@ def _kernel(tree_ref, out_ref, scratch, arm: str, iters: int, W: int):
                 )
                 best_t = jnp.where(ok, t, best_t)
                 best_tri = jnp.where(ok, cur + k, best_tri)
-            acc = acc + best_t * 1e-12 + best_tri.astype(jnp.float32) * 1e-12
+            # reduce to a column for the carry (max keeps every lane live)
+            acc = acc + (
+                jnp.max(best_t, axis=1, keepdims=True)
+                + jnp.max(best_tri.astype(jnp.float32), axis=1,
+                          keepdims=True)
+            ) * 1e-12
         if arm == "install":
             # one walker's install(): 7 row moves + 3 safe-inv rows +
             # best/queue init, repeated for ONE walker per iteration
