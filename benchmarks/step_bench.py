@@ -59,7 +59,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _kernel(tree_ref, out_ref, scratch, arm: str, iters: int, W: int):
+def _kernel(tree_ref, out_ref, scratch, idx_ref, mir_ref, mir_sem,
+            arm: str, iters: int, W: int):
     LANE = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 1)
     scratch[...] = tree_ref[0:W, :]
 
@@ -169,6 +170,60 @@ def _kernel(tree_ref, out_ref, scratch, arm: str, iters: int, W: int):
                 + jnp.max(best_tri.astype(jnp.float32), axis=1,
                           keepdims=True)
             ) * 1e-12
+        if arm == "fetchdep":
+            # the IN-SITU fetch: each scalar row-index read depends on a
+            # (W,1) value the VPU wrote THIS iteration (the real kernel
+            # reads cur_s right after advance stores it) — measures the
+            # vector->scalar dependency stall the plain `fetch` arm
+            # (strided from one read) does not pay
+            idxv = ((S0[:, 0:1] * 1e6).astype(jnp.int32) & 1023)
+            idx_ref[...] = idxv  # VPU store the scalar unit must see
+            for w in range(W):
+                c = idx_ref[w, 0] & 1023
+                scratch[w : w + 1, :] = tree_ref[pl.ds(c, 1), :]
+            acc = acc + scratch[0:1, 0:1]
+        if arm == "fetchmir":
+            # mirror-fetch: same dependent indices, but moved to SMEM by
+            # ONE DMA (wait once) and read from there (~1 cycle/read)
+            idxv = ((S0[:, 0:1] * 1e6).astype(jnp.int32) & 1023)
+            idx_ref[...] = idxv
+            cp = pltpu.make_async_copy(idx_ref, mir_ref, mir_sem)
+            cp.start()
+            cp.wait()
+            for w in range(W):
+                c = mir_ref[w, 0] & 1023
+                scratch[w : w + 1, :] = tree_ref[pl.ds(c, 1), :]
+            acc = acc + scratch[0:1, 0:1]
+        if arm == "ctl":
+            # the per-iteration flush/service DECISION logic (kernel body
+            # steps 5-6 minus the taken branches): five vector->scalar
+            # reductions feeding two data-dependent @pl.when branches.
+            # This is the overhead a check-every-K unroll amortizes.
+            qn = (S0[:, 1:2] * 3.0).astype(jnp.int32) & 7
+            nxt = cur - 512  # ~half negative
+            n_q = jnp.sum((qn > 0).astype(jnp.int32))
+            do_leaf = (
+                (n_q >= 2 * W)  # rarely true, data-dependent
+                | ((n_q > 0) & jnp.logical_not(jnp.any(nxt >= 0)))
+                | (jnp.max(qn) >= 128)
+            )
+
+            @pl.when(do_leaf)
+            def _():
+                scratch[0:1, 0:1] = scratch[0:1, 0:1] + 1.0
+
+            need_v = (nxt < -2048) & (qn == 0)
+            n_need = jnp.sum(need_v.astype(jnp.int32))
+            others_busy = jnp.any((nxt >= 0) | (qn > 0))
+            do_service = (n_need >= 2 * W) | (
+                (n_need > 0) & jnp.logical_not(others_busy)
+            )
+
+            @pl.when(do_service)
+            def _():
+                scratch[0:1, 1:2] = scratch[0:1, 1:2] + 1.0
+
+            acc = acc + n_q.astype(jnp.float32) * 1e-12
         if arm == "install":
             # one walker's install(): 7 row moves + 3 safe-inv rows +
             # best/queue init, repeated for ONE walker per iteration
@@ -197,7 +252,7 @@ def main():
     ap.add_argument("--iters", type=int, default=2000)
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--arms", nargs="*",
-                    default=["full", "noroll", "roll2", "slab", "rollq",
+                    default=["full", "noroll", "roll2", "slab", "rollq", "ctl",
                              "fetch", "mt", "install"])
     args = ap.parse_args()
     W = args.walkers
@@ -227,7 +282,12 @@ def main():
             out_shape=jax.ShapeDtypeStruct((W, 128), jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((W, 128), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((W, 128), jnp.float32),
+                pltpu.VMEM((W, 1), jnp.int32),
+                pltpu.SMEM((W, 1), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
         )
         run = jax.jit(lambda t, fn=fn: jnp.sum(fn(t)))
         float(run(tree))

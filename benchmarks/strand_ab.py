@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--pipe", action="store_true",
                     help="software-pipelined node fetch (fetch for step "
                          "k+1 issues before step k's queue/flush work)")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="walk steps per flush/service decision "
+                         "(check-every-K; requires --pipe)")
     ap.add_argument("--ribbon", type=int, default=0, metavar="K",
                     help="ribbon layout with K sub-steps per fetched "
                          "16-node row (0 = strand layout)")
@@ -116,6 +119,7 @@ def main():
                 smem_pend=args.smem_pend, pipe=args.pipe,
                 ribbon_rpo=ribbon_rpo,
                 ribbon_k=args.ribbon if args.ribbon else 4,
+                unroll=args.unroll,
             )
 
         def block_q(tm):
@@ -135,6 +139,7 @@ def main():
                 smem_pend=args.smem_pend, pipe=args.pipe,
                 ribbon_rpo=ribbon_rpo,
                 ribbon_k=args.ribbon if args.ribbon else 4,
+                unroll=args.unroll,
                 stats=True,
             )
             st = np.asarray(st)

@@ -485,6 +485,12 @@ def make_strand_intersectors(pack, tmin: float = 0.001,
         "RAYTPU_STRAND_PIPE",
         "1" if pack.n_triangles >= 4096 else "0",
     ) != "0"
+    # check-every-K unroll (strand_persistent docstring): K walk steps
+    # per flush/service decision. step_bench: the decision logic costs
+    # ~470 cycles/iter — as much as the advance body — so K amortizes it
+    unroll = int(os.environ.get("RAYTPU_STRAND_UNROLL", "1"))
+    if not pipe:
+        unroll = 1
     # ribbon layout: RAYTPU_RIBBON=K (sub-steps per fetched row, 1..8)
     # walks the per-octant pre-order renumbered tree — persistent kernel
     # only; 0 restores the octant-threaded strand layout
@@ -495,6 +501,7 @@ def make_strand_intersectors(pack, tmin: float = 0.001,
     )
     if use_ribbon:
         tree = pack.bvh.ribbon_rows
+        unroll = 1  # ribbon sub-steps already batch the walk
     ribbon_rpo = tree.shape[0] // 8 if use_ribbon else 0
 
     def query(ro, rd, tmax_r, tmin_q, any_q):
@@ -512,6 +519,7 @@ def make_strand_intersectors(pack, tmin: float = 0.001,
                 pipe=pipe,
                 ribbon_rpo=ribbon_rpo,
                 ribbon_k=ribbon_k if use_ribbon else 4,
+                unroll=unroll,
             )
         return strand_query(
             tree, leaves,
@@ -560,6 +568,9 @@ def make_strand_mixed_query(pack, interpret: bool = False):
         "RAYTPU_STRAND_PIPE",
         "1" if pack.n_triangles >= 4096 else "0",
     ) != "0"
+    unroll = int(os.environ.get("RAYTPU_STRAND_UNROLL", "1"))
+    if not pipe:
+        unroll = 1
     ribbon_k = int(os.environ.get("RAYTPU_RIBBON", "0"))
     use_ribbon = (
         ribbon_k > 0
@@ -567,6 +578,7 @@ def make_strand_mixed_query(pack, interpret: bool = False):
     )
     if use_ribbon:
         tree = pack.bvh.ribbon_rows
+        unroll = 1
     ribbon_rpo = tree.shape[0] // 8 if use_ribbon else 0
 
     def query(ro, rd, tmax, smask, *, tmin: float, shadow_tmin: float):
@@ -580,6 +592,7 @@ def make_strand_mixed_query(pack, interpret: bool = False):
             pipe=pipe,
             ribbon_rpo=ribbon_rpo,
             ribbon_k=ribbon_k if use_ribbon else 4,
+            unroll=unroll,
         )
 
     return query

@@ -72,6 +72,7 @@ def _persistent_kernel(
     ribbon_rpo: int,
     ribbon_k: int,
     stats: bool,
+    unroll: int,
 ):
     if stats:
         stats_ref, *refs = refs
@@ -109,6 +110,12 @@ def _persistent_kernel(
     # transitions do, 2.69x fewer fetches at K=4 — strand_sim --ribbon).
     ribbon = ribbon_rpo > 0
     assert not ribbon or 1 <= ribbon_k <= 8
+    # unrolled sub-steps re-fetch mid-body, which requires the pipelined
+    # fetch shape (snode_s consumed at body start) and the strand layout
+    assert 1 <= unroll <= 8, "queue headroom bounds unroll at 8"
+    assert unroll == 1 or (pipe and not ribbon), (
+        "unroll > 1 requires pipe=True and the strand (non-ribbon) layout"
+    )
     # mixed mode: rays8 row 7 carries a per-LANE any-hit flag (the
     # deferred-NEE shadow mask) — one launch serves bounce b's shadow
     # rays AND bounce b+1's continuation rays after one shared coherence
@@ -450,9 +457,29 @@ def _persistent_kernel(
                 + 2 * (RDY0 < 0.0).astype(jnp.int32)
                 + 4 * (RDZ0 < 0.0).astype(jnp.int32)
             ) * 8
-            amt = (jnp.maximum(cur, 0) & 1) * 64 + OB
-            cur, q, qn = advance(snode_s[...], cur, q, qn, amt,
-                                 cur >= 0)
+            # check-every-K unroll: take ``unroll`` walk steps per body
+            # iteration, re-fetching between sub-steps, and run the
+            # flush/service DECISION logic once per body. step_bench
+            # (docs/PROFILE_r4.md): the decision logic alone costs ~470
+            # cycles/iter — as much as the whole advance body — so
+            # amortizing it over K steps cuts the per-step floor. The
+            # deferral argument is the occupancy-flush one: checking
+            # later only delays best-t shrink; committed sets are
+            # unchanged (lowest-slot ties), results stay bit-identical.
+            # Queue headroom: <= 1 enqueue per walker per sub-step and
+            # the overflow check fires at QCAP=120 on a 128-wide queue,
+            # so unroll <= 8 can never drop a queued leaf.
+            for _u in range(unroll):
+                if _u > 0:
+                    cur_s[...] = cur
+                    for w in range(W):
+                        c = jnp.maximum(cur_s[w, 0], 0)
+                        snode_s[w : w + 1, :] = tree_ref[
+                            pl.ds(c // 2, 1), :
+                        ]
+                amt = (jnp.maximum(cur, 0) & 1) * 64 + OB
+                cur, q, qn = advance(snode_s[...], cur, q, qn, amt,
+                                     cur >= 0)
             nxt = cur
         cur_s[...] = cur
         queue_s[...] = q
@@ -655,7 +682,7 @@ def _persistent_kernel(
     static_argnames=("tmin", "any_hit", "interpret", "walkers",
                      "service_k", "flush_occ", "mixed", "shadow_tmin",
                      "smem_cur", "smem_pend", "pipe", "ribbon_rpo",
-                     "ribbon_k", "stats"),
+                     "ribbon_k", "stats", "unroll"),
 )
 def strand_query_persistent(
     tree_rows,
@@ -678,6 +705,7 @@ def strand_query_persistent(
     ribbon_rpo: int = 0,
     ribbon_k: int = 4,
     stats: bool = False,
+    unroll: int = 1,
 ):
     """Trace R rays (coherence-sorted; consecutive 128 = one strand)
     with W persistent walkers refilling from an on-device strand queue.
@@ -739,6 +767,7 @@ def strand_query_persistent(
         ribbon_rpo=ribbon_rpo,
         ribbon_k=ribbon_k,
         stats=stats,
+        unroll=unroll,
         # generous step bound: every strand could walk every node twice
         # before this trips (a debugging backstop, not a scheduler limit)
         max_iters=max(1_000_000, n_strands * 64),

@@ -129,23 +129,28 @@ def test_strand_any_hit_matches_brute():
 
 
 @pytest.mark.parametrize(
-    "walkers,service_k,pipe,smem_cur,smem_pend",
+    "walkers,service_k,pipe,smem_cur,smem_pend,unroll",
     [
-        (8, 2, False, False, False),
-        (16, 16, False, False, False),
+        (8, 2, False, False, False, 1),
+        (16, 16, False, False, False, 1),
         # the pipelined fetch re-stages rows on install(): tiny walker
         # counts force many refills so the install()/service restaging
         # interaction is exercised, not just the steady step path
-        (8, 2, True, False, False),
-        (16, 4, True, False, False),
-        (8, 2, False, True, False),
-        (8, 2, False, False, True),
-        (8, 2, True, True, True),  # pipe supersedes smem_cur (normalised)
+        (8, 2, True, False, False, 1),
+        (16, 4, True, False, False, 1),
+        (8, 2, False, True, False, 1),
+        (8, 2, False, False, True, 1),
+        (8, 2, True, True, True, 1),  # pipe supersedes smem_cur
+        # check-every-K unroll: tiny walkers + unroll exercises the
+        # mid-body refetch, delayed flush/service, and the drain tail
+        (8, 2, True, False, False, 4),
+        (16, 4, True, False, False, 8),
+        (8, 2, True, False, True, 4),  # unroll + deferred leaf mirror
     ],
 )
 @pytest.mark.slow
 def test_persistent_strand_matches_strand(
-    walkers, service_k, pipe, smem_cur, smem_pend
+    walkers, service_k, pipe, smem_cur, smem_pend, unroll
 ):
     """The persistent-refill kernel (kernels/strand_persistent.py) must
     be BIT-identical to strand_query: same tree, same per-ray math, only
@@ -170,7 +175,7 @@ def test_persistent_strand_matches_strand(
     t_p, tri_p = strand_query_persistent(
         *args, tmin=0.001, interpret=True, walkers=walkers,
         service_k=service_k, pipe=pipe, smem_cur=smem_cur,
-        smem_pend=smem_pend,
+        smem_pend=smem_pend, unroll=unroll,
     )
     np.testing.assert_array_equal(np.asarray(tri_p), np.asarray(tri_ref))
     np.testing.assert_array_equal(np.asarray(t_p), np.asarray(t_ref))
