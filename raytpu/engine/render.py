@@ -1072,12 +1072,14 @@ def _trace_paths(
     #             sorted across bounces (sort window = previous work
     #             tier), ONE unsort at path exit
     # Default is wave-width gated (round-4 frame A/Bs, docs/PROFILE_r4.md):
-    # compact wins on the 2.07M-lane headline (726 -> 694 ms) but LOSES on
-    # small waves (multi 65k lanes: 19.2 -> 22.4 ms with compact+pipe) —
-    # the tier cond-chain's fixed cost outweighs dead-lane savings there.
+    # fused wins on the 2.07M-lane headline (673.5 -> 588.0 ms solo,
+    # 564.8 with UNROLL=4) — one unsort per path instead of one per
+    # bounce; compact/fused LOSE on small waves (multi 65k lanes:
+    # 19.2 -> 22.4 ms with compact+pipe) — the tier cond-chain's fixed
+    # cost outweighs dead-lane savings there.
     large_wave = r >= int(os.environ.get("RAYTPU_LARGE_WAVE", str(1 << 20)))
     wave_mode = os.environ.get(
-        "RAYTPU_WAVE_MODE", "compact" if large_wave else "query"
+        "RAYTPU_WAVE_MODE", "fused" if large_wave else "query"
     )
     persistent = sort_bounced and not use_mixed and wave_mode == "resort"
     compact = sort_bounced and not use_mixed and wave_mode == "compact"

@@ -487,8 +487,12 @@ def make_strand_intersectors(pack, tmin: float = 0.001,
     ) != "0"
     # check-every-K unroll (strand_persistent docstring): K walk steps
     # per flush/service decision. step_bench: the decision logic costs
-    # ~470 cycles/iter — as much as the advance body — so K amortizes it
-    unroll = int(os.environ.get("RAYTPU_STRAND_UNROLL", "1"))
+    # ~470 cycles/iter — as much as the advance body — so K amortizes
+    # it. Frame-measured (r4_queue4, docs/PROFILE_r4.md): K=4 is the
+    # winner (673.5 -> 653.4 ms solo; 588.0 -> 564.8 under fused wave
+    # mode), K=8 gives some back — default 4 wherever pipe is on (same
+    # >= 4096-tri gate; unroll without pipe is unmeasured).
+    unroll = int(os.environ.get("RAYTPU_STRAND_UNROLL", "4"))
     if not pipe:
         unroll = 1
     # ribbon layout: RAYTPU_RIBBON=K (sub-steps per fetched row, 1..8)
@@ -568,7 +572,7 @@ def make_strand_mixed_query(pack, interpret: bool = False):
         "RAYTPU_STRAND_PIPE",
         "1" if pack.n_triangles >= 4096 else "0",
     ) != "0"
-    unroll = int(os.environ.get("RAYTPU_STRAND_UNROLL", "1"))
+    unroll = int(os.environ.get("RAYTPU_STRAND_UNROLL", "4"))
     if not pipe:
         unroll = 1
     ribbon_k = int(os.environ.get("RAYTPU_RIBBON", "0"))
