@@ -358,6 +358,8 @@ def main():
         sys.exit(selftest())
     quick = "--quick" in sys.argv
 
+    secondary = {}
+
     cube = raytpu.load_scene("/root/reference/cube.glb")
     cube_cam = raytpu.load_camera_json("/root/reference/camera.json", 512, 512)
     cube_pack = pack_scene(cube)
@@ -369,8 +371,10 @@ def main():
     # config 2: diffuse path tracing, 4 bounces
     cfg2 = raytpu.RenderConfig(width=512, height=512, seed=1, samples=4,
                                bounces=4, chunk_size=64)
-    bench_config("cube flat 512x512x1", cube_pack, cube_campk, cfg1)
-    bench_config("cube path 512x512x4spp", cube_pack, cube_campk, cfg2)
+    secondary["cube_flat"], _ = bench_config("cube flat 512x512x1",
+                                             cube_pack, cube_campk, cfg1)
+    secondary["cube"], _ = bench_config("cube path 512x512x4spp",
+                                        cube_pack, cube_campk, cfg2)
 
     # config 3: multi-mesh glTF scene through the BVH path
     os.makedirs(CACHE, exist_ok=True)
@@ -381,8 +385,9 @@ def main():
     cfg3 = raytpu.RenderConfig(width=256, height=256, seed=1, samples=2,
                                bounces=3, chunk_size=32,
                                bruteforce_max_tris=64)
-    bench_config("multi-mesh 256x256x2spp", pack_scene(multi),
-                 pack_camera(multi.camera), cfg3)
+    secondary["multi"], _ = bench_config(
+        "multi-mesh 256x256x2spp", pack_scene(multi),
+        pack_camera(multi.camera), cfg3)
 
     # config 4: PBR materials + emissive + NEE
     pbr_path = os.path.join(CACHE, "pbr_nee.glb")
@@ -391,8 +396,9 @@ def main():
     pbr = raytpu.load_scene(pbr_path)
     cfg4 = raytpu.RenderConfig(width=256, height=256, seed=1, samples=4,
                                bounces=4, chunk_size=32)
-    bench_config("pbr+nee 256x256x4spp", pack_scene(pbr),
-                 pack_camera(pbr.camera), cfg4)
+    secondary["pbr"], _ = bench_config("pbr+nee 256x256x4spp",
+                                       pack_scene(pbr),
+                                       pack_camera(pbr.camera), cfg4)
 
     # config 5 (headline): Sponza-class 1080p wavefront path tracing
     tris = 20_000 if quick else 250_000
@@ -417,14 +423,22 @@ def main():
         assert pack6.bvh.node8_rows is None, "stream pack kept resident tables"
         cfg6 = raytpu.RenderConfig(width=640, height=360, seed=1,
                                    samples=1, bounces=4, chunk_size=8)
-        bench_config(f"stream({tris6}) 640x360", pack6,
-                     pack_camera(scene6.camera), cfg6, repeats=2)
+        secondary["stream"], _ = bench_config(
+            f"stream({tris6}) 640x360", pack6,
+            pack_camera(scene6.camera), cfg6, repeats=2)
 
+    # re-print the secondaries LAST so the driver's tail capture keeps
+    # them (VERDICT r4 item 5: the early stderr lines were truncated out
+    # of BENCH_r04.json), and embed them in the parsed JSON object so
+    # regression gates stay checkable from the artifact alone.
+    secondary = {k: round(v, 2) for k, v in secondary.items()}
+    log(f"[bench] secondary Mrays/s: {json.dumps(secondary)}")
     print(json.dumps({
         "metric": "Mrays/sec/chip, Sponza-class atrium 1080p, 4 bounces",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 200.0, 4),
+        "secondary": secondary,
     }))
 
 

@@ -56,6 +56,11 @@ def main():
     ap.add_argument("--unroll", type=int, default=1,
                     help="walk steps per flush/service decision "
                          "(check-every-K; requires --pipe)")
+    ap.add_argument("--ctl-every", type=int, default=1,
+                    help="run the flush/service decision block every N "
+                         "body iterations (power of two)")
+    ap.add_argument("--flush-pop", type=int, default=1,
+                    help="pop up to P queue heads per walker per flush")
     ap.add_argument("--ribbon", type=int, default=0, metavar="K",
                     help="ribbon layout with K sub-steps per fetched "
                          "16-node row (0 = strand layout)")
@@ -120,6 +125,8 @@ def main():
                 ribbon_rpo=ribbon_rpo,
                 ribbon_k=args.ribbon if args.ribbon else 4,
                 unroll=args.unroll,
+                ctl_every=args.ctl_every,
+                flush_pop=args.flush_pop,
             )
 
         def block_q(tm):
@@ -140,6 +147,8 @@ def main():
                 ribbon_rpo=ribbon_rpo,
                 ribbon_k=args.ribbon if args.ribbon else 4,
                 unroll=args.unroll,
+                ctl_every=args.ctl_every,
+                flush_pop=args.flush_pop,
                 stats=True,
             )
             st = np.asarray(st)

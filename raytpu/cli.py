@@ -47,8 +47,32 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache for CLI runs: TPU compiles through
+    the tunnel cost 30-120 s per config; repeat invocations with the
+    same (size, samples, bounces, chunk) should pay it once. Same dir
+    contract as bench.py (RAYTPU_CACHE overrides)."""
+    import os
+
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "RAYTPU_CACHE", os.path.expanduser("~/.raytpu_jaxcache")
+            ),
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.5
+        )
+    except Exception:
+        pass  # cache is best-effort; rendering must not depend on it
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    _enable_compile_cache()
 
     from . import (
         RenderConfig,

@@ -495,6 +495,13 @@ def make_strand_intersectors(pack, tmin: float = 0.001,
     unroll = int(os.environ.get("RAYTPU_STRAND_UNROLL", "4"))
     if not pipe:
         unroll = 1
+    # control cadence + multi-pop flush (strand_persistent docstring):
+    # the flush/service decision block runs every ctl_every body
+    # iterations and each flush pops up to flush_pop heads per walker.
+    # Enqueues are gated on queue headroom (walkers stall in place at
+    # QCAP), so any (unroll, ctl_every) combination is overflow-safe.
+    ctl_every = int(os.environ.get("RAYTPU_STRAND_CTL", "1"))
+    flush_pop = int(os.environ.get("RAYTPU_STRAND_POP", "1"))
     # ribbon layout: RAYTPU_RIBBON=K (sub-steps per fetched row, 1..8)
     # walks the per-octant pre-order renumbered tree — persistent kernel
     # only; 0 restores the octant-threaded strand layout
@@ -524,6 +531,8 @@ def make_strand_intersectors(pack, tmin: float = 0.001,
                 ribbon_rpo=ribbon_rpo,
                 ribbon_k=ribbon_k if use_ribbon else 4,
                 unroll=unroll,
+                ctl_every=ctl_every,
+                flush_pop=flush_pop,
             )
         return strand_query(
             tree, leaves,
@@ -575,6 +584,8 @@ def make_strand_mixed_query(pack, interpret: bool = False):
     unroll = int(os.environ.get("RAYTPU_STRAND_UNROLL", "4"))
     if not pipe:
         unroll = 1
+    ctl_every = int(os.environ.get("RAYTPU_STRAND_CTL", "1"))
+    flush_pop = int(os.environ.get("RAYTPU_STRAND_POP", "1"))
     ribbon_k = int(os.environ.get("RAYTPU_RIBBON", "0"))
     use_ribbon = (
         ribbon_k > 0
@@ -597,6 +608,8 @@ def make_strand_mixed_query(pack, interpret: bool = False):
             ribbon_rpo=ribbon_rpo,
             ribbon_k=ribbon_k if use_ribbon else 4,
             unroll=unroll,
+            ctl_every=ctl_every,
+            flush_pop=flush_pop,
         )
 
     return query

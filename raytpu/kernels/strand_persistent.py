@@ -73,6 +73,8 @@ def _persistent_kernel(
     ribbon_k: int,
     stats: bool,
     unroll: int,
+    ctl_every: int,
+    flush_pop: int,
 ):
     if stats:
         stats_ref, *refs = refs
@@ -111,10 +113,29 @@ def _persistent_kernel(
     ribbon = ribbon_rpo > 0
     assert not ribbon or 1 <= ribbon_k <= 8
     # unrolled sub-steps re-fetch mid-body, which requires the pipelined
-    # fetch shape (snode_s consumed at body start) and the strand layout
-    assert 1 <= unroll <= 8, "queue headroom bounds unroll at 8"
+    # fetch shape (snode_s consumed at body start) and the strand layout.
+    # Queue safety at ANY unroll comes from the enqueue gate (a walker
+    # with qn >= QCAP stalls in place), not from a growth bound.
+    assert 1 <= unroll <= 64
     assert unroll == 1 or (pipe and not ribbon), (
         "unroll > 1 requires pipe=True and the strand (non-ribbon) layout"
+    )
+    # ctl_every: run the flush/service DECISION block only on body
+    # iterations where it % ctl_every == 0 (power of two so the gate is
+    # one scalar AND on the carry). The decision block's five
+    # vector->scalar reductions + their in-situ serialization are the
+    # measured per-iteration control floor (docs/PROFILE_r4.md:
+    # ~471 + ~780 cycles of ~2250/iter); deferring a flush/service by
+    # < ctl_every iterations only delays best-t shrink / refill timing —
+    # the same schedule-independence argument as the occupancy flush.
+    assert ctl_every >= 1 and (ctl_every & (ctl_every - 1)) == 0
+    # flush_pop: pop up to P queue heads per walker per flush (P chained
+    # MT passes), so flush arbitration amortizes over P leaf rounds and
+    # queues drain fast enough for deep unrolls to stay unstalled.
+    assert flush_pop >= 1
+    assert flush_pop == 1 or not smem_pend, (
+        "smem_pend defers exactly one pend set; multi-pop needs the"
+        " in-line leaf phase"
     )
     # mixed mode: rays8 row 7 carries a per-LANE any-hit flag (the
     # deferred-NEE shadow mask) — one launch serves bounce b's shadow
@@ -466,9 +487,13 @@ def _persistent_kernel(
             # deferral argument is the occupancy-flush one: checking
             # later only delays best-t shrink; committed sets are
             # unchanged (lowest-slot ties), results stay bit-identical.
-            # Queue headroom: <= 1 enqueue per walker per sub-step and
-            # the overflow check fires at QCAP=120 on a 128-wide queue,
-            # so unroll <= 8 can never drop a queued leaf.
+            # Queue headroom: enqueues are GATED on qn < QCAP — a walker
+            # whose queue is full stalls in place (cur unchanged; the
+            # next sub-step refetches the same row and retries), so no
+            # queued leaf can ever be dropped at any unroll. The flush
+            # drains it within a control round (ADVICE r4: the old
+            # ungated path could overflow at unroll>1 because the flush
+            # pops fewer per iteration than K sub-steps can push).
             for _u in range(unroll):
                 if _u > 0:
                     cur_s[...] = cur
@@ -479,7 +504,7 @@ def _persistent_kernel(
                         ]
                 amt = (jnp.maximum(cur, 0) & 1) * 64 + OB
                 cur, q, qn = advance(snode_s[...], cur, q, qn, amt,
-                                     cur >= 0)
+                                     (cur >= 0) & (qn < QCAP))
             nxt = cur
         cur_s[...] = cur
         queue_s[...] = q
@@ -519,31 +544,60 @@ def _persistent_kernel(
         #    MT pass), when nobody is mid-walk (drain), or on overflow.
         #    Deferral still only delays best-t shrink: committed sets
         #    are unchanged (lowest-slot ties).
-        n_q = jnp.sum((qn > 0).astype(jnp.int32))
-        do_leaf = (
-            (n_q >= max(int(flush_occ * W), 1))
-            | ((n_q > 0) & jnp.logical_not(jnp.any(nxt >= 0)))
-            | (jnp.max(qn) >= QCAP)
+        #    The whole decision region (its five vector->scalar
+        #    reductions are the measured control floor) runs only on
+        #    control rounds: body iterations with it % ctl_every == 0 —
+        #    a scalar gate on the loop carry, free of vector sync.
+        ctl_fire = (
+            (it & (ctl_every - 1)) == 0 if ctl_every > 1
+            else jnp.bool_(True)
         )
 
-        @pl.when(do_leaf)
+        @pl.when(ctl_fire)
         def _():
-            qf = queue_s[...]
-            qnf = qn_s[...]
-            popped = qnf > 0
-            if stats:
-                ctr_smem[3] = ctr_smem[3] + 1
-                ctr_smem[6] = ctr_smem[6] + jnp.sum(
-                    popped.astype(jnp.int32)
-                )
-            pend_s[...] = jnp.where(popped, qf[:, 0:1], -1)
-            queue_s[...] = jnp.where(popped, pltpu.roll(qf, 127, 1), qf)
-            qn_s[...] = qnf - popped.astype(jnp.int32)
-            if smem_pend:
-                pltpu.make_async_copy(pend_s, pend_smem, sem_pend).start()
-                ctr_smem[2] = 1
-            else:
-                leaf_phase()
+            n_q = jnp.sum((qn > 0).astype(jnp.int32))
+            do_leaf = (
+                (n_q >= max(int(flush_occ * W), 1))
+                | ((n_q > 0) & jnp.logical_not(jnp.any(nxt >= 0)))
+                | (jnp.max(qn) >= QCAP)
+            )
+
+            @pl.when(do_leaf)
+            def _():
+                if stats:
+                    ctr_smem[3] = ctr_smem[3] + 1
+                # pop up to flush_pop heads per walker: pass p runs only
+                # while some queue still holds > p entries (one scalar
+                # reduction per extra pass, paid only at flushes)
+                qn_at_entry = jnp.max(qn_s[...]) if flush_pop > 1 else None
+                for p in range(flush_pop):
+                    def pop_pass():
+                        qf = queue_s[...]
+                        qnf = qn_s[...]
+                        popped = qnf > 0
+                        if stats:
+                            ctr_smem[6] = ctr_smem[6] + jnp.sum(
+                                popped.astype(jnp.int32)
+                            )
+                        pend_s[...] = jnp.where(popped, qf[:, 0:1], -1)
+                        queue_s[...] = jnp.where(
+                            popped, pltpu.roll(qf, 127, 1), qf
+                        )
+                        qn_s[...] = qnf - popped.astype(jnp.int32)
+                        if smem_pend:
+                            pltpu.make_async_copy(
+                                pend_s, pend_smem, sem_pend
+                            ).start()
+                            ctr_smem[2] = 1
+                        else:
+                            leaf_phase()
+
+                    if p == 0:
+                        pop_pass()
+                    else:
+                        @pl.when(qn_at_entry > p)
+                        def _():
+                            pop_pass()
 
         if smem_cur:
             pltpu.make_async_copy(cur_s, cur_smem, sem_cur).wait()
@@ -552,108 +606,118 @@ def _persistent_kernel(
         #    terminated AND leaf queue drained). Fires when >= service_k
         #    walkers wait, or when nobody is mid-walk/mid-queue (drain
         #    tail + small waves), so the predicated scalar blocks stay
-        #    off the hot step path.
-        cur_now = cur_s[...]
-        qn_now = qn_s[...]
-        need_v = (cur_now < 0) & (qn_now == 0) & (act_s[...] == 1)
-        if smem_pend:
-            # a popped-but-untested walker (deferred leaf in flight) must
-            # not refill: its staged result would miss the last leaf
-            need_v = need_v & (pend_s[...] < 0)
-        n_need = jnp.sum(need_v.astype(jnp.int32))
-        others_busy = jnp.any((cur_now >= 0) | (qn_now > 0))
-        do_service = (n_need >= service_k) | (
-            (n_need > 0) & jnp.logical_not(others_busy)
-        )
+        #    off the hot step path. Gated to control rounds like the
+        #    flush (a finished walker waits < ctl_every iterations).
+        def _service_round():
+            cur_now = cur_s[...]
+            qn_now = qn_s[...]
+            need_v = (cur_now < 0) & (qn_now == 0) & (act_s[...] == 1)
+            if smem_pend:
+                # a popped-but-untested walker (deferred leaf in flight)
+                # must not refill: its staged result would miss the last
+                # leaf
+                need_v = need_v & (pend_s[...] < 0)
+            n_need = jnp.sum(need_v.astype(jnp.int32))
+            others_busy = jnp.any((cur_now >= 0) | (qn_now > 0))
+            do_service = (n_need >= service_k) | (
+                (n_need > 0) & jnp.logical_not(others_busy)
+            )
 
-        @pl.when(do_service)
-        def _():
-            if stats:
-                ctr_smem[4] = ctr_smem[4] + 1
-            # pass 1: stage + start all out/in copies (they overlap
-            # across the whole service batch)
-            for w in range(W):
-                needs = (
-                    (cur_s[w, 0] < 0) & (qn_s[w, 0] == 0)
-                    & (act_s[w, 0] == 1)
-                )
-                if smem_pend:
-                    # read pend_s (VMEM), NOT the mirror: the mirror's
-                    # DMA from this iteration's flush may not have landed
-                    # yet. The slow vector->scalar read is fine here —
-                    # service fires once per ~service_k walker refills.
-                    needs = needs & (pend_s[w, 0] < 0)
+            @pl.when(do_service)
+            def _():
+                if stats:
+                    ctr_smem[4] = ctr_smem[4] + 1
+                # pass 1: stage + start all out/in copies (they overlap
+                # across the whole service batch)
+                for w in range(W):
+                    needs = (
+                        (cur_s[w, 0] < 0) & (qn_s[w, 0] == 0)
+                        & (act_s[w, 0] == 1)
+                    )
+                    if smem_pend:
+                        # read pend_s (VMEM), NOT the mirror: the mirror's
+                        # DMA from this iteration's flush may not have landed
+                        # yet. The slow vector->scalar read is fine here —
+                        # service fires once per ~service_k walker refills.
+                        needs = needs & (pend_s[w, 0] < 0)
 
-                @pl.when(needs)
-                def _(w=w):
-                    stt_s[w : w + 1, :] = bt_s[w : w + 1, :]
-                    sti_s[w : w + 1, :] = btr_s[w : w + 1, :]
-                    out_row = sid_smem[w]
-                    pltpu.make_async_copy(
-                        stt_s.at[pl.ds(w, 1), :],
-                        t_ref.at[pl.ds(out_row, 1), :],
-                        sem_out,
-                    ).start()
-                    pltpu.make_async_copy(
-                        sti_s.at[pl.ds(w, 1), :],
-                        tri_ref.at[pl.ds(out_row, 1), :],
-                        sem_out,
-                    ).start()
-                    s_next = ctr_smem[0]
-
-                    @pl.when(s_next < n_strands)
-                    def _(w=w, s_next=s_next):
-                        ctr_smem[0] = s_next + 1
-                        sid_smem[w] = s_next
-                        flags_smem[w] = 1  # serviced + refilled
+                    @pl.when(needs)
+                    def _(w=w):
+                        stt_s[w : w + 1, :] = bt_s[w : w + 1, :]
+                        sti_s[w : w + 1, :] = btr_s[w : w + 1, :]
+                        out_row = sid_smem[w]
                         pltpu.make_async_copy(
-                            rays_ref.at[pl.ds(8 * s_next, 8), :],
+                            stt_s.at[pl.ds(w, 1), :],
+                            t_ref.at[pl.ds(out_row, 1), :],
+                            sem_out,
+                        ).start()
+                        pltpu.make_async_copy(
+                            sti_s.at[pl.ds(w, 1), :],
+                            tri_ref.at[pl.ds(out_row, 1), :],
+                            sem_out,
+                        ).start()
+                        s_next = ctr_smem[0]
+
+                        @pl.when(s_next < n_strands)
+                        def _(w=w, s_next=s_next):
+                            ctr_smem[0] = s_next + 1
+                            sid_smem[w] = s_next
+                            flags_smem[w] = 1  # serviced + refilled
+                            pltpu.make_async_copy(
+                                rays_ref.at[pl.ds(8 * s_next, 8), :],
+                                stin_s.at[pl.ds(8 * w, 8), :],
+                                sem_in,
+                            ).start()
+
+                        @pl.when(s_next >= n_strands)
+                        def _(w=w):
+                            act_s[w : w + 1, 0:1] = jnp.zeros(
+                                (1, 1), jnp.int32
+                            )
+                            sid_smem[w] = -1
+                            flags_smem[w] = 2  # serviced + parked
+                            ctr_smem[1] = ctr_smem[1] + 1
+
+                # pass 2: drain THIS batch's out-copies (shared semaphore:
+                # waits match starts 1:1; staging reuse is safe afterwards)
+                for w in range(W):
+                    @pl.when(flags_smem[w] >= 1)
+                    def _(w=w):
+                        pltpu.make_async_copy(
+                            stt_s.at[pl.ds(w, 1), :],
+                            t_ref.at[pl.ds(0, 1), :],
+                            sem_out,
+                        ).wait()
+                        pltpu.make_async_copy(
+                            sti_s.at[pl.ds(w, 1), :],
+                            tri_ref.at[pl.ds(0, 1), :],
+                            sem_out,
+                        ).wait()
+
+                # pass 3: wait the in-copies and install the new strands
+                for w in range(W):
+                    @pl.when(flags_smem[w] == 1)
+                    def _(w=w):
+                        pltpu.make_async_copy(
+                            rays_ref.at[pl.ds(0, 8), :],
                             stin_s.at[pl.ds(8 * w, 8), :],
                             sem_in,
-                        ).start()
+                        ).wait()
+                        install(w)
+                        if stats:
+                            ctr_smem[5] = ctr_smem[5] + 1
 
-                    @pl.when(s_next >= n_strands)
+                for w in range(W):
+                    @pl.when(flags_smem[w] >= 1)
                     def _(w=w):
-                        act_s[w : w + 1, 0:1] = jnp.zeros(
-                            (1, 1), jnp.int32
-                        )
-                        sid_smem[w] = -1
-                        flags_smem[w] = 2  # serviced + parked
-                        ctr_smem[1] = ctr_smem[1] + 1
+                        flags_smem[w] = 0
 
-            # pass 2: drain THIS batch's out-copies (shared semaphore:
-            # waits match starts 1:1; staging reuse is safe afterwards)
-            for w in range(W):
-                @pl.when(flags_smem[w] >= 1)
-                def _(w=w):
-                    pltpu.make_async_copy(
-                        stt_s.at[pl.ds(w, 1), :],
-                        t_ref.at[pl.ds(0, 1), :],
-                        sem_out,
-                    ).wait()
-                    pltpu.make_async_copy(
-                        sti_s.at[pl.ds(w, 1), :],
-                        tri_ref.at[pl.ds(0, 1), :],
-                        sem_out,
-                    ).wait()
-
-            # pass 3: wait the in-copies and install the new strands
-            for w in range(W):
-                @pl.when(flags_smem[w] == 1)
-                def _(w=w):
-                    pltpu.make_async_copy(
-                        rays_ref.at[pl.ds(0, 8), :],
-                        stin_s.at[pl.ds(8 * w, 8), :],
-                        sem_in,
-                    ).wait()
-                    install(w)
-                    if stats:
-                        ctr_smem[5] = ctr_smem[5] + 1
-
-            for w in range(W):
-                @pl.when(flags_smem[w] >= 1)
-                def _(w=w):
-                    flags_smem[w] = 0
+        if ctl_every > 1:
+            @pl.when(ctl_fire)
+            def _():
+                _service_round()
+        else:
+            _service_round()
 
         # the parked count rides the carry: Pallas while conditions are
         # pure jax over carries, so SMEM state is sampled at body exit
@@ -682,7 +746,8 @@ def _persistent_kernel(
     static_argnames=("tmin", "any_hit", "interpret", "walkers",
                      "service_k", "flush_occ", "mixed", "shadow_tmin",
                      "smem_cur", "smem_pend", "pipe", "ribbon_rpo",
-                     "ribbon_k", "stats", "unroll"),
+                     "ribbon_k", "stats", "unroll", "ctl_every",
+                     "flush_pop"),
 )
 def strand_query_persistent(
     tree_rows,
@@ -706,6 +771,8 @@ def strand_query_persistent(
     ribbon_k: int = 4,
     stats: bool = False,
     unroll: int = 1,
+    ctl_every: int = 1,
+    flush_pop: int = 1,
 ):
     """Trace R rays (coherence-sorted; consecutive 128 = one strand)
     with W persistent walkers refilling from an on-device strand queue.
@@ -768,6 +835,8 @@ def strand_query_persistent(
         ribbon_k=ribbon_k,
         stats=stats,
         unroll=unroll,
+        ctl_every=ctl_every,
+        flush_pop=flush_pop,
         # generous step bound: every strand could walk every node twice
         # before this trips (a debugging backstop, not a scheduler limit)
         max_iters=max(1_000_000, n_strands * 64),

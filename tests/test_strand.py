@@ -129,28 +129,37 @@ def test_strand_any_hit_matches_brute():
 
 
 @pytest.mark.parametrize(
-    "walkers,service_k,pipe,smem_cur,smem_pend,unroll",
+    "walkers,service_k,pipe,smem_cur,smem_pend,unroll,ctl_every,flush_pop",
     [
-        (8, 2, False, False, False, 1),
-        (16, 16, False, False, False, 1),
+        (8, 2, False, False, False, 1, 1, 1),
+        (16, 16, False, False, False, 1, 1, 1),
         # the pipelined fetch re-stages rows on install(): tiny walker
         # counts force many refills so the install()/service restaging
         # interaction is exercised, not just the steady step path
-        (8, 2, True, False, False, 1),
-        (16, 4, True, False, False, 1),
-        (8, 2, False, True, False, 1),
-        (8, 2, False, False, True, 1),
-        (8, 2, True, True, True, 1),  # pipe supersedes smem_cur
+        (8, 2, True, False, False, 1, 1, 1),
+        (16, 4, True, False, False, 1, 1, 1),
+        (8, 2, False, True, False, 1, 1, 1),
+        (8, 2, False, False, True, 1, 1, 1),
+        (8, 2, True, True, True, 1, 1, 1),  # pipe supersedes smem_cur
         # check-every-K unroll: tiny walkers + unroll exercises the
         # mid-body refetch, delayed flush/service, and the drain tail
-        (8, 2, True, False, False, 4),
-        (16, 4, True, False, False, 8),
-        (8, 2, True, False, True, 4),  # unroll + deferred leaf mirror
+        (8, 2, True, False, False, 4, 1, 1),
+        (16, 4, True, False, False, 8, 1, 1),
+        (8, 2, True, False, True, 4, 1, 1),  # unroll + deferred leaf mirror
+        # control cadence + multi-pop flush: with tiny queues the
+        # enqueue gate (stall at QCAP) and the deferred decision rounds
+        # must still commit identical sets; unroll 16 > the old
+        # "headroom 8" bound exercises the gating specifically
+        (8, 2, True, False, False, 4, 4, 1),
+        (8, 2, True, False, False, 16, 8, 4),
+        (16, 4, True, False, False, 8, 2, 2),
+        (8, 2, False, False, False, 1, 4, 2),  # cadence without unroll
     ],
 )
 @pytest.mark.slow
 def test_persistent_strand_matches_strand(
-    walkers, service_k, pipe, smem_cur, smem_pend, unroll
+    walkers, service_k, pipe, smem_cur, smem_pend, unroll, ctl_every,
+    flush_pop,
 ):
     """The persistent-refill kernel (kernels/strand_persistent.py) must
     be BIT-identical to strand_query: same tree, same per-ray math, only
@@ -175,7 +184,8 @@ def test_persistent_strand_matches_strand(
     t_p, tri_p = strand_query_persistent(
         *args, tmin=0.001, interpret=True, walkers=walkers,
         service_k=service_k, pipe=pipe, smem_cur=smem_cur,
-        smem_pend=smem_pend, unroll=unroll,
+        smem_pend=smem_pend, unroll=unroll, ctl_every=ctl_every,
+        flush_pop=flush_pop,
     )
     np.testing.assert_array_equal(np.asarray(tri_p), np.asarray(tri_ref))
     np.testing.assert_array_equal(np.asarray(t_p), np.asarray(t_ref))
