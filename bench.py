@@ -69,11 +69,9 @@ def _cached_atrium(target_tris: int):
 
 
 def _host_pack_arrays(scene):
-    import jax
-
-    with jax.default_device(jax.devices("cpu")[0]):
-        pack = pack_scene(scene)
-    return jax.tree_util.tree_map(np.asarray, pack)
+    # as_numpy: pure host pack, no XLA:CPU round trip (the driver box's
+    # degraded XLA:CPU fallback made this 27.1 s in r4 vs ~4.5 s real)
+    return pack_scene(scene, as_numpy=True)
 
 
 def _device_pack(host_pack):

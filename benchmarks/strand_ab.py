@@ -68,10 +68,12 @@ def main():
                     help="print per-wave event counters (iterations, "
                          "flushes, services, installs, leaf pops, "
                          "enqueues) from the stats kernel variant")
-    ap.add_argument("--inner", type=int, default=8,
+    ap.add_argument("--inner", type=int, default=32,
                     help="device-side chained repeats per timing (waves "
                          "are ~RPC-floor-sized; chaining is the only "
-                         "trustworthy sub-50ms timing through the tunnel)")
+                         "trustworthy sub-50ms timing through the tunnel; "
+                         "32 keeps residual floor error < 1 ms even when "
+                         "the tunnel floor wobbles by tens of ms)")
     ap.add_argument("--block", action="store_true",
                     help="also time the block strand kernel")
     ap.add_argument("--check", action="store_true",
@@ -94,16 +96,21 @@ def main():
     else:
         ptree = tree
 
-    # RPC floor: cheapest possible device round-trip
+    # RPC floor: cheapest possible device round-trip. The tunnel's floor
+    # wobbles (a recovering/cold tunnel measured 25.8 ms vs a steady
+    # ~5-10; an inflated floor at --inner 8 once produced NEGATIVE wave
+    # times) — warm it with several probes, then take the min of many.
     @jax.jit
     def probe(x):
         return x + 1.0
 
-    float(probe(jnp.float32(0)))
-    floor = min(
-        _timed(lambda: float(probe(jnp.float32(i)))) for i in range(6)
-    )
-    log(f"[ab] RPC floor {floor * 1e3:.1f} ms")
+    for i in range(4):  # compile + tunnel warm
+        float(probe(jnp.float32(i)))
+    floors = [_timed(lambda: float(probe(jnp.float32(i))))
+              for i in range(12)]
+    floor = min(floors)
+    log(f"[ab] RPC floor {floor * 1e3:.1f} ms "
+        f"(median {sorted(floors)[len(floors) // 2] * 1e3:.1f})")
 
     print("| wave | kernel | ms | Mrays/s |")
     print("|---|---|---|---|")

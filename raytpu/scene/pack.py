@@ -127,7 +127,7 @@ def _bitcast_i32_to_f32(x: np.ndarray) -> np.ndarray:
 
 def pack_scene(
     scene: SceneData, leaf_size: int = LEAF_SIZE, treelets: str = "auto",
-    tables: str = "auto",
+    tables: str = "auto", as_numpy: bool = False,
 ) -> ScenePack:
     """Build the device ScenePack (including the software BVH).
 
@@ -135,7 +135,13 @@ def pack_scene(
     past the bounce-sort threshold, "always"/"never" force it.
     ``tables``: "auto" drops the resident-kernel tables (BVH8 rows, leaf
     rows, strand tree) for beyond-VMEM TPU scenes that can only ride the
-    binned path; "stream" forces the drop; "all" keeps everything."""
+    binned path; "stream" forces the drop; "all" keeps everything.
+    ``as_numpy`` keeps every table a host numpy array (no jax involved):
+    the host-side pack/pickle path — bench caching, offline builds —
+    skips the XLA:CPU round trip entirely (the driver box's degraded
+    XLA:CPU fallback made the r4 "atrium BVH build" line cost 27.1 s
+    against ~4.5 s of actual pack work). Numpy packs feed jit as
+    operands just as well; jnp.asarray happens implicitly at dispatch."""
     p0, e1, e2, vi, mat, obj = flatten_world_triangles(scene)
 
     bvh, bvh8 = build_bvh(p0, e1, e2, leaf_size=leaf_size)
@@ -298,35 +304,37 @@ def pack_scene(
         # layout, so the VMEM check above covers both)
         ribbon_rows = build_ribbon_tree(bvh).rows
 
+    conv = np.ascontiguousarray if as_numpy else jnp.asarray
+    fscalar = np.float32 if as_numpy else jnp.float32
     return ScenePack(
-        tri_row=jnp.asarray(tri_row),
-        object_linear=jnp.asarray(obj_linear),
-        mat_table=jnp.asarray(mat_table),
-        light_table=jnp.asarray(light_table),
-        n_lights_f=jnp.float32(n_lights),
-        scene_bmin=jnp.asarray(bvh.bmin[0]),
-        scene_bmax=jnp.asarray(bvh.bmax[0]),
-        tex_atlas=jnp.asarray(atlas),
-        tex_size=jnp.asarray(sizes, jnp.int32),
+        tri_row=conv(tri_row),
+        object_linear=conv(obj_linear),
+        mat_table=conv(mat_table),
+        light_table=conv(light_table),
+        n_lights_f=fscalar(n_lights),
+        scene_bmin=conv(bvh.bmin[0]),
+        scene_bmax=conv(bvh.bmax[0]),
+        tex_atlas=conv(atlas),
+        tex_size=conv(np.asarray(sizes, np.int32)),
         bvh=BvhPack(
-            nodes=jnp.asarray(nodes),
-            node8_rows=None if stream else jnp.asarray(bvh8.node_rows),
-            leaf_tris=None if stream else jnp.asarray(leaf_tris),
+            nodes=conv(nodes),
+            node8_rows=None if stream else conv(bvh8.node_rows),
+            leaf_tris=None if stream else conv(leaf_tris),
             strand_rows=(
-                None if strand_rows is None else jnp.asarray(strand_rows)
+                None if strand_rows is None else conv(strand_rows)
             ),
             ribbon_rows=(
-                None if ribbon_rows is None else jnp.asarray(ribbon_rows)
+                None if ribbon_rows is None else conv(ribbon_rows)
             ),
         ),
         has_textures=len(scene.textures) > 0,
         scene_diag=_quantize_sig(
             float(np.linalg.norm(bvh.bmax[0] - bvh.bmin[0]))
         ),
-        tl_nodes=None if tl is None else jnp.asarray(tl.tnodes),
-        tl_leaves=None if tl is None else jnp.asarray(tl.tleaves),
-        tl_bmin=None if tl is None else jnp.asarray(tl.tbox_min),
-        tl_bmax=None if tl is None else jnp.asarray(tl.tbox_max),
+        tl_nodes=None if tl is None else conv(tl.tnodes),
+        tl_leaves=None if tl is None else conv(tl.tleaves),
+        tl_bmin=None if tl is None else conv(tl.tbox_min),
+        tl_bmax=None if tl is None else conv(tl.tbox_max),
     )
 
 

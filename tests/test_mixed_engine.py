@@ -1,5 +1,10 @@
 """Engine parity for the packet path's bounce-wave routing.
 
+Fast tier: test_small_scene_strand_routing_matches_legacy is the one
+unmarked representative (interpreted-Pallas double renders at 5000
+tris cost minutes each on the forced-CPU backend — VERDICT r4 item
+7); the full matrix runs under -m slow.
+
 On scenes past the bounce-sort threshold (>4096 slots) the engine sorts
 bounce waves for coherence and — when the pack carries a strand tree —
 routes them to the strand kernel, keeping the packet kernel for
@@ -23,6 +28,7 @@ from raytpu.scene.pack import pack_camera, pack_scene
 from .imgdiff import assert_images_equiv, cached_atrium_pack
 
 
+@pytest.mark.slow
 def test_strand_bounce_routing_matches_legacy():
     scene, pack = cached_atrium_pack(5000)
     cam = pack_camera(scene.camera)
@@ -40,6 +46,7 @@ def test_strand_bounce_routing_matches_legacy():
     assert_images_equiv(ref, sorted_q)
 
 
+@pytest.mark.slow
 def test_segmented_sort_matches_legacy(monkeypatch):
     """RAYTPU_SORT_MODE=seg sorts the wave in independent segments so
     each sort's working set stays on XLA's VMEM sort path (the full-wave
@@ -61,6 +68,7 @@ def test_segmented_sort_matches_legacy(monkeypatch):
     assert_images_equiv(ref, sorted_q)
 
 
+@pytest.mark.slow
 def test_persistent_strand_engine_matches_legacy(monkeypatch):
     """RAYTPU_STRAND_PERSISTENT=1 routes sorted bounce waves to the
     persistent-refill kernel (kernels/strand_persistent.py); frames must
@@ -153,6 +161,7 @@ def test_small_scene_strand_routing_matches_legacy():
     assert_images_equiv(ref, sorted_q)
 
 
+@pytest.mark.slow
 def test_mixed_persistent_engine_matches_legacy(monkeypatch):
     """bounce_backend='mixed': bounce b's NEE shadow wave rides bounce
     b+1's continuation launch on the persistent strand kernel with
