@@ -1320,12 +1320,19 @@ def _choose_intersectors(pack: ScenePack, config: RenderConfig):
         on_tpu = "tpu" in platform or "axon" in platform
         if on_tpu and vmem_budget_ok(pack):
             which = "packet"
-        elif on_tpu and pack.tl_nodes is not None:
-            # beyond-VMEM scenes: nothing is resident — every query
-            # (primary closest, NEE shadow, bounce waves) runs binned,
-            # with treelet windows streamed HBM->VMEM per packet. This is
-            # how the design scales to whatever HBM holds, like the
+        elif on_tpu and pack.bvh.strand_rows is not None:
+            # beyond-VMEM scenes with a strand tree: the persistent
+            # strand kernel walks it straight out of HBM (tree_any row
+            # fetches via overlapped async copies) — same traversal and
+            # bits as the resident path, measured ~an order of magnitude
+            # above the binned treelet route (docs/PROFILE_r5.md). This
+            # is how the design scales to whatever HBM holds, like the
             # reference scales to GPU memory (src/state.rs:1145-1246).
+            which = "strand"
+        elif on_tpu and pack.tl_nodes is not None:
+            # no strand tree either (tables='stream' on tiny scenes):
+            # every query runs binned with treelet windows streamed
+            # HBM->VMEM per packet
             which = "binned"
         elif pack.n_triangles <= config.bruteforce_max_tris:
             which = "brute"
@@ -1355,6 +1362,32 @@ def _choose_intersectors(pack: ScenePack, config: RenderConfig):
             True,
             None,
         )
+    if which == "strand":
+        # strand kernels for EVERY wave (primary, shadow, bounce): the
+        # beyond-VMEM route (HBM strand tables), or an explicit override
+        # for A/Bs on resident scenes. b0 waves arrive block-ordered,
+        # bounce waves coherence-sorted — exactly the resident path's
+        # wave discipline, so frame results match it bit-for-bit.
+        from ..kernels.strand import (
+            make_strand_intersectors,
+            make_strand_mixed_query,
+        )
+
+        if pack.bvh.strand_rows is None:
+            raise ValueError(
+                "intersector='strand' needs a strand tree; scenes above "
+                "the sort threshold pack one by default"
+            )
+        try:
+            platform = jax.devices()[0].platform.lower()
+        except Exception:
+            platform = "cpu"
+        interpret = not ("tpu" in platform or "axon" in platform)
+        mixed = None
+        if config.bounce_backend == "mixed":
+            mixed = make_strand_mixed_query(pack, interpret=interpret)
+        pair = make_strand_intersectors(pack, interpret=interpret)
+        return (pair, True, mixed, False, pair)
     if which == "packet":
         try:
             platform = jax.devices()[0].platform.lower()

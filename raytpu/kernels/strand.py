@@ -437,6 +437,31 @@ def strand_query(
     return t, tri
 
 
+STRAND_VMEM_BUDGET = 100 * 1024 * 1024
+
+
+def _hbm_tables(tree, leaves):
+    """(tree, leaves, tree_any): decide the beyond-VMEM route. When the
+    strand tree + leaf rows exceed the persistent kernel's VMEM budget
+    the tables stay in HBM and the kernel fetches rows via overlapped
+    async copies (tree_any) — same traversal, bit-identical results.
+    RAYTPU_STRAND_HBM=1/0 forces either way (A/B). HBM leaf rows are
+    padded to the DMA-friendly 128-lane width here, once."""
+    import os
+
+    env = os.environ.get("RAYTPU_STRAND_HBM")
+    tree_any = (
+        (tree.size + leaves.size) * 4 > STRAND_VMEM_BUDGET
+        if env is None
+        else env != "0"
+    )
+    if tree_any and leaves.shape[1] < 128:
+        leaves = jnp.pad(
+            leaves, ((0, 0), (0, 128 - leaves.shape[1]))
+        )
+    return tree, leaves, tree_any
+
+
 def make_strand_intersectors(pack, tmin: float = 0.001,
                              interpret: bool = False,
                              groups: int | None = None):
@@ -461,8 +486,9 @@ def make_strand_intersectors(pack, tmin: float = 0.001,
     if groups is None:
         groups = int(os.environ.get("RAYTPU_STRAND_GROUPS", "16"))
 
-    tree = pack.bvh.strand_rows
-    leaves = pack.bvh.leaf_tris
+    tree, leaves, tree_any = _hbm_tables(
+        pack.bvh.strand_rows, pack.bvh.leaf_tris
+    )
     # The persistent-refill kernel (kernels/strand_persistent.py) is the
     # default: same math bit-for-bit, walkers refill from an on-device
     # strand queue instead of paying each block's slowest strand (the
@@ -472,6 +498,10 @@ def make_strand_intersectors(pack, tmin: float = 0.001,
     # 2.3-2.8x everywhere. RAYTPU_STRAND_PERSISTENT=0 restores the block
     # kernel for A/Bs.
     persistent = os.environ.get("RAYTPU_STRAND_PERSISTENT", "1") != "0"
+    if tree_any:
+        # HBM tables exist only on the persistent kernel's pipelined
+        # strand layout (the block kernel block-slices its tree to VMEM)
+        persistent = True
     # all knobs bind at factory time (consistent toggle semantics:
     # changing the env after the factory has run has no effect)
     walkers_n = int(os.environ.get("RAYTPU_STRAND_WALKERS", "128"))
@@ -484,7 +514,7 @@ def make_strand_intersectors(pack, tmin: float = 0.001,
     pipe = os.environ.get(
         "RAYTPU_STRAND_PIPE",
         "1" if pack.n_triangles >= 4096 else "0",
-    ) != "0"
+    ) != "0" or tree_any  # tree_any requires the pipelined fetch shape
     # check-every-K unroll (strand_persistent docstring): K walk steps
     # per flush/service decision. step_bench: the decision logic costs
     # ~470 cycles/iter — as much as the advance body — so K amortizes
@@ -507,7 +537,7 @@ def make_strand_intersectors(pack, tmin: float = 0.001,
     # only; 0 restores the octant-threaded strand layout
     ribbon_k = int(os.environ.get("RAYTPU_RIBBON", "0"))
     use_ribbon = (
-        ribbon_k > 0 and persistent
+        ribbon_k > 0 and persistent and not tree_any
         and getattr(pack.bvh, "ribbon_rows", None) is not None
     )
     if use_ribbon:
@@ -533,6 +563,7 @@ def make_strand_intersectors(pack, tmin: float = 0.001,
                 unroll=unroll,
                 ctl_every=ctl_every,
                 flush_pop=flush_pop,
+                tree_any=tree_any,
             )
         return strand_query(
             tree, leaves,
@@ -570,8 +601,9 @@ def make_strand_mixed_query(pack, interpret: bool = False):
 
     from .strand_persistent import strand_query_persistent
 
-    tree = pack.bvh.strand_rows
-    leaves = pack.bvh.leaf_tris
+    tree, leaves, tree_any = _hbm_tables(
+        pack.bvh.strand_rows, pack.bvh.leaf_tris
+    )
     walkers = int(os.environ.get("RAYTPU_STRAND_WALKERS", "128"))
     service_k = int(os.environ.get("RAYTPU_STRAND_SERVICE_K", "16"))
     flush_occ = float(os.environ.get("RAYTPU_STRAND_FLUSH", "0.75"))
@@ -580,7 +612,7 @@ def make_strand_mixed_query(pack, interpret: bool = False):
     pipe = os.environ.get(
         "RAYTPU_STRAND_PIPE",
         "1" if pack.n_triangles >= 4096 else "0",
-    ) != "0"
+    ) != "0" or tree_any
     unroll = int(os.environ.get("RAYTPU_STRAND_UNROLL", "4"))
     if not pipe:
         unroll = 1
@@ -588,7 +620,7 @@ def make_strand_mixed_query(pack, interpret: bool = False):
     flush_pop = int(os.environ.get("RAYTPU_STRAND_POP", "1"))
     ribbon_k = int(os.environ.get("RAYTPU_RIBBON", "0"))
     use_ribbon = (
-        ribbon_k > 0
+        ribbon_k > 0 and not tree_any
         and getattr(pack.bvh, "ribbon_rows", None) is not None
     )
     if use_ribbon:
@@ -610,6 +642,7 @@ def make_strand_mixed_query(pack, interpret: bool = False):
             unroll=unroll,
             ctl_every=ctl_every,
             flush_pop=flush_pop,
+            tree_any=tree_any,
         )
 
     return query

@@ -75,6 +75,7 @@ def _persistent_kernel(
     unroll: int,
     ctl_every: int,
     flush_pop: int,
+    tree_any: bool,
 ):
     if stats:
         stats_ref, *refs = refs
@@ -102,6 +103,8 @@ def _persistent_kernel(
         sem_out,  # DMA, shared by all out-copies
         sem_cur,  # DMA for the per-step cur_s -> cur_smem mirror copy
         sem_pend,  # DMA for the per-flush pend_s -> pend_smem mirror
+        sem_tree,  # DMA for HBM node-row fetches (tree_any)
+        sem_leaf,  # DMA for HBM leaf-row fetches (tree_any)
     ) = refs
     W = walkers
     # ribbon mode (accel/strandtree.py RibbonTree): tree_ref rows pack 16
@@ -137,6 +140,36 @@ def _persistent_kernel(
         "smem_pend defers exactly one pend set; multi-pop needs the"
         " in-line leaf phase"
     )
+    # tree_any: node/leaf tables live in HBM (memory_space=ANY) — the
+    # beyond-VMEM scene route. Every row fetch becomes an async copy;
+    # all W starts issue before any wait so the HBM latencies overlap
+    # across walkers. Same rows, same math: results stay bit-identical
+    # to the VMEM-resident configuration.
+    assert not tree_any or (pipe and not ribbon and not smem_cur), (
+        "tree_any requires the pipelined strand (non-ribbon) layout"
+    )
+
+    def stage_node_rows(row_of):
+        """snode_s[w] <- tree row ``row_of(w)`` for every walker. VMEM
+        trees copy rows directly; HBM trees (tree_any) start all W
+        async copies first, then wait (waits match starts 1:1 on the
+        shared semaphore, counted by shape)."""
+        if tree_any:
+            for w in range(W):
+                pltpu.make_async_copy(
+                    tree_ref.at[pl.ds(row_of(w), 1), :],
+                    snode_s.at[pl.ds(w, 1), :],
+                    sem_tree,
+                ).start()
+            for w in range(W):
+                pltpu.make_async_copy(
+                    tree_ref.at[pl.ds(0, 1), :],
+                    snode_s.at[pl.ds(w, 1), :],
+                    sem_tree,
+                ).wait()
+        else:
+            for w in range(W):
+                snode_s[w : w + 1, :] = tree_ref[pl.ds(row_of(w), 1), :]
     # mixed mode: rays8 row 7 carries a per-LANE any-hit flag (the
     # deferred-NEE shadow mask) — one launch serves bounce b's shadow
     # rays AND bounce b+1's continuation rays after one shared coherence
@@ -201,7 +234,16 @@ def _persistent_kernel(
             # pipelined fetch: the body consumes snode_s directly, so a
             # refilled walker's first node row (cur = 0 -> tree row 0)
             # is staged here instead of at body start
-            snode_s[w : w + 1, :] = tree_ref[pl.ds(0, 1), :]
+            if tree_any:
+                cp = pltpu.make_async_copy(
+                    tree_ref.at[pl.ds(0, 1), :],
+                    snode_s.at[pl.ds(w, 1), :],
+                    sem_tree,
+                )
+                cp.start()
+                cp.wait()
+            else:
+                snode_s[w : w + 1, :] = tree_ref[pl.ds(0, 1), :]
 
     # ---- initial fill ----
     n0 = min(W, n_strands)
@@ -253,7 +295,16 @@ def _persistent_kernel(
             if pipe:
                 # never-active rows still flow through the vector step;
                 # stage any real row (ACT masks every consequence)
-                snode_s[w : w + 1, :] = tree_ref[pl.ds(0, 1), :]
+                if tree_any:
+                    cp = pltpu.make_async_copy(
+                        tree_ref.at[pl.ds(0, 1), :],
+                        snode_s.at[pl.ds(w, 1), :],
+                        sem_tree,
+                    )
+                    cp.start()
+                    cp.wait()
+                else:
+                    snode_s[w : w + 1, :] = tree_ref[pl.ds(0, 1), :]
     for w in range(n0):
         pltpu.make_async_copy(
             rays_ref.at[pl.ds(8 * w, 8), :],
@@ -273,9 +324,25 @@ def _persistent_kernel(
                 lr = jnp.maximum(pend_smem[w, 0], 0)
             else:
                 lr = jnp.maximum(pend_s[w, 0], 0)
-            sleaf_s[w : w + 1, 0 : leaf_ref.shape[1]] = leaf_ref[
-                pl.ds(lr, 1), :
-            ]
+            if tree_any:
+                # HBM leaf rows (padded to 128 lanes by the factory):
+                # start all W copies, wait below so latencies overlap
+                pltpu.make_async_copy(
+                    leaf_ref.at[pl.ds(lr, 1), :],
+                    sleaf_s.at[pl.ds(w, 1), :],
+                    sem_leaf,
+                ).start()
+            else:
+                sleaf_s[w : w + 1, 0 : leaf_ref.shape[1]] = leaf_ref[
+                    pl.ds(lr, 1), :
+                ]
+        if tree_any:
+            for w in range(W):
+                pltpu.make_async_copy(
+                    leaf_ref.at[pl.ds(0, 1), :],
+                    sleaf_s.at[pl.ds(w, 1), :],
+                    sem_leaf,
+                ).wait()
         L = sleaf_s[...]
         PM = pend >= 0
         LR = jnp.maximum(pend, 0)
@@ -497,11 +564,9 @@ def _persistent_kernel(
             for _u in range(unroll):
                 if _u > 0:
                     cur_s[...] = cur
-                    for w in range(W):
-                        c = jnp.maximum(cur_s[w, 0], 0)
-                        snode_s[w : w + 1, :] = tree_ref[
-                            pl.ds(c // 2, 1), :
-                        ]
+                    stage_node_rows(
+                        lambda w: jnp.maximum(cur_s[w, 0], 0) // 2
+                    )
                 amt = (jnp.maximum(cur, 0) & 1) * 64 + OB
                 cur, q, qn = advance(snode_s[...], cur, q, qn, amt,
                                      (cur >= 0) & (qn < QCAP))
@@ -521,14 +586,16 @@ def _persistent_kernel(
             # wave; bit-identical on all four waves. install() re-stages
             # the root row for refilled walkers, so service (which runs
             # after this) stays consistent.
-            for w in range(W):
-                c = jnp.maximum(cur_s[w, 0], 0)
-                if ribbon:
+            if ribbon:
+                for w in range(W):
+                    c = jnp.maximum(cur_s[w, 0], 0)
                     snode_s[w : w + 1, :] = tree_ref[
                         pl.ds(obase_smem[w] + c // 16, 1), :
                     ]
-                else:
-                    snode_s[w : w + 1, :] = tree_ref[pl.ds(c // 2, 1), :]
+            else:
+                stage_node_rows(
+                    lambda w: jnp.maximum(cur_s[w, 0], 0) // 2
+                )
         if smem_cur:
             # mirror the new fetch indices into SMEM; the copy overlaps
             # the queue/flush phases and is waited before service (whose
@@ -747,7 +814,7 @@ def _persistent_kernel(
                      "service_k", "flush_occ", "mixed", "shadow_tmin",
                      "smem_cur", "smem_pend", "pipe", "ribbon_rpo",
                      "ribbon_k", "stats", "unroll", "ctl_every",
-                     "flush_pop"),
+                     "flush_pop", "tree_any"),
 )
 def strand_query_persistent(
     tree_rows,
@@ -773,6 +840,7 @@ def strand_query_persistent(
     unroll: int = 1,
     ctl_every: int = 1,
     flush_pop: int = 1,
+    tree_any: bool = False,
 ):
     """Trace R rays (coherence-sorted; consecutive 128 = one strand)
     with W persistent walkers refilling from an on-device strand queue.
@@ -795,8 +863,18 @@ def strand_query_persistent(
     lanes — one launch serves a bounce's shadow wave and the next
     bounce's continuation wave after one shared coherence sort; any-hit
     lanes use ``shadow_tmin`` (the reference shoots shadows from t=0,
-    src/shader.wgsl:174-186) while closest lanes keep ``tmin``."""
+    src/shader.wgsl:174-186) while closest lanes keep ``tmin``.
+
+    ``tree_any=True`` keeps ``tree_rows`` and ``leaf_tris`` in HBM
+    (memory_space=ANY) and fetches rows per walk step via overlapped
+    async copies — the beyond-VMEM scene route (the reference scales the
+    same way to whatever GPU memory holds, src/state.rs:1145-1246).
+    ``leaf_tris`` must then be padded to 128 lanes (the factory does)."""
     smem_cur = smem_cur and not pipe  # see docstring
+    if tree_any:
+        assert leaf_tris.shape[1] == 128, (
+            "tree_any needs 128-lane leaf rows (pad leaf_tris)"
+        )
     r = rox.shape[0]
     r_pad = -(-r // 128) * 128
 
@@ -837,6 +915,7 @@ def strand_query_persistent(
         unroll=unroll,
         ctl_every=ctl_every,
         flush_pop=flush_pop,
+        tree_any=tree_any,
         # generous step bound: every strand could walk every node twice
         # before this trips (a debugging backstop, not a scheduler limit)
         max_iters=max(1_000_000, n_strands * 64),
@@ -858,8 +937,12 @@ def strand_query_persistent(
     outs = pl.pallas_call(
         kernel,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                memory_space=pl.ANY if tree_any else pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                memory_space=pl.ANY if tree_any else pltpu.VMEM
+            ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=out_specs,
@@ -899,6 +982,8 @@ def strand_query_persistent(
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),  # sem_tree (tree_any)
+            pltpu.SemaphoreType.DMA(()),  # sem_leaf (tree_any)
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024

@@ -286,23 +286,24 @@ def pack_scene(
     )
 
     # octant-threaded strand layout: the bounce-wave traversal kernel
-    # (kernels/strand.py). Built for scenes past the bounce-sort
-    # threshold whose table fits the kernel's VMEM budget alongside the
-    # leaf rows (beyond-VMEM scenes use the binned path instead).
+    # (kernels/strand.py). Built for every scene past the bounce-sort
+    # threshold: resident scenes load it into VMEM; beyond-VMEM (stream)
+    # scenes keep it in HBM and the persistent kernel fetches rows via
+    # overlapped async copies (strand_persistent tree_any — same
+    # traversal, bit-identical, measured far above the binned route).
     strand_rows = None
     ribbon_rows = None
     strand_bytes = -(-bvh.n_nodes // 2) * 128 * 4
-    if (
-        not stream
-        and n_slots > _sort_min_tris()
-        and strand_bytes + leaf_bytes <= 100 * 1024 * 1024
-    ):
+    fits_vmem = strand_bytes + leaf_bytes <= 100 * 1024 * 1024
+    if n_slots > _sort_min_tris() and (fits_vmem or stream):
         from ..accel.strandtree import build_ribbon_tree, build_strand_tree
 
         strand_rows = build_strand_tree(bvh).rows
         # same node budget in a different numbering (the kernel loads one
-        # layout, so the VMEM check above covers both)
-        ribbon_rows = build_ribbon_tree(bvh).rows
+        # layout, so the VMEM check above covers both); stream packs skip
+        # it — the HBM route walks the strand layout only
+        if fits_vmem and not stream:
+            ribbon_rows = build_ribbon_tree(bvh).rows
 
     conv = np.ascontiguousarray if as_numpy else jnp.asarray
     fscalar = np.float32 if as_numpy else jnp.float32
@@ -319,7 +320,12 @@ def pack_scene(
         bvh=BvhPack(
             nodes=conv(nodes),
             node8_rows=None if stream else conv(bvh8.node_rows),
-            leaf_tris=None if stream else conv(leaf_tris),
+            # stream scenes keep the leaf rows when a strand tree exists:
+            # the HBM strand route fetches them per flush (tree_any)
+            leaf_tris=(
+                None if stream and strand_rows is None
+                else conv(leaf_tris)
+            ),
             strand_rows=(
                 None if strand_rows is None else conv(strand_rows)
             ),

@@ -45,7 +45,8 @@ class RenderConfig:
     mode: str = "path"  # "path" | "flat" — flat = primary-ray base colour
     tile_rows: Optional[int] = None  # rows per render tile; None = auto
     bruteforce_max_tris: int = 2048  # scenes at/below this skip the BVH
-    intersector: str = "auto"  # "auto" | "brute" | "bvh"
+    # "auto" | "brute" | "bvh" | "packet" | "strand" | "binned"
+    intersector: str = "auto"
     # how the packet path traverses bounce-wave queries:
     #   "sorted" — coherence-sorted continuation + shadow queries, routed
     #              to the strand kernel when the pack carries a strand

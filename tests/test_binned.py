@@ -136,10 +136,10 @@ def test_binned_engine_matches_threaded():
 
 
 def test_stream_pack_drops_resident_tables_and_renders_binned():
-    """tables='stream' packs carry ONLY the binned-path treelet tables
-    (the beyond-VMEM memory diet, VERDICT r2 item 9): resident-kernel
-    tables are dropped, and the binned intersector still matches the
-    full pack's threaded walk."""
+    """tables='stream' packs drop the packet kernel's resident tables
+    (the beyond-VMEM memory diet, VERDICT r2 item 9) but keep the strand
+    tree + leaf rows for the HBM strand route (tree_any); the binned
+    intersector still matches the full pack's threaded walk."""
     import raytpu
     from benchmarks.scenes import build_atrium
     from raytpu.engine.render import render_frame
@@ -148,8 +148,9 @@ def test_stream_pack_drops_resident_tables_and_renders_binned():
     scene, full = cached_atrium_pack(5000)
     stream = pack_scene(scene, tables="stream")
     assert stream.bvh.node8_rows is None
-    assert stream.bvh.leaf_tris is None
-    assert stream.bvh.strand_rows is None
+    assert stream.bvh.ribbon_rows is None
+    assert stream.bvh.leaf_tris is not None  # HBM strand route
+    assert stream.bvh.strand_rows is not None
     assert stream.tl_nodes is not None
     cam = pack_camera(scene.camera)
     kw = dict(width=32, height=24, seed=3, samples=1, bounces=2,
@@ -160,3 +161,30 @@ def test_stream_pack_drops_resident_tables_and_renders_binned():
         stream, cam, raytpu.RenderConfig(**kw, intersector="binned")
     )
     assert_images_equiv(ref, binned)
+
+
+@pytest.mark.slow
+def test_stream_pack_renders_hbm_strand(monkeypatch):
+    """The beyond-VMEM default route: stream pack + intersector='strand'
+    with RAYTPU_STRAND_HBM=1 (tree_any forced on the small tables) must
+    match the full pack's threaded walk. This is the engine path the
+    'auto' intersector picks on TPU for scenes past the packet kernel's
+    VMEM budget (render._choose_intersectors)."""
+    import raytpu
+    from raytpu.engine.render import render_frame
+    from raytpu.scene.pack import pack_camera, pack_scene
+
+    monkeypatch.setenv("RAYTPU_STRAND_HBM", "1")
+    monkeypatch.setenv("RAYTPU_STRAND_WALKERS", "8")
+    monkeypatch.setenv("RAYTPU_STRAND_SERVICE_K", "2")
+    scene, full = cached_atrium_pack(5000)
+    stream = pack_scene(scene, tables="stream")
+    cam = pack_camera(scene.camera)
+    kw = dict(width=32, height=24, seed=3, samples=1, bounces=2,
+              chunk_size=8)
+    ref = render_frame(full, cam,
+                       raytpu.RenderConfig(**kw, intersector="bvh"))
+    got = render_frame(
+        stream, cam, raytpu.RenderConfig(**kw, intersector="strand")
+    )
+    assert_images_equiv(ref, got)

@@ -192,6 +192,66 @@ def test_persistent_strand_matches_strand(
 
 
 @pytest.mark.parametrize(
+    "walkers,service_k,unroll,ctl_every,flush_pop,any_hit",
+    [
+        (8, 2, 1, 1, 1, False),    # many refills through DMA'd installs
+        (8, 2, 4, 4, 2, False),    # mid-body HBM refetch + cadence
+        (16, 4, 8, 2, 4, False),
+        (8, 2, 4, 1, 1, True),     # any-hit early-park with HBM rows
+    ],
+)
+@pytest.mark.slow
+def test_persistent_tree_any_matches_strand(
+    walkers, service_k, unroll, ctl_every, flush_pop, any_hit
+):
+    """tree_any (HBM node/leaf tables fetched via async copies — the
+    beyond-VMEM scene route) must be bit-identical to the VMEM block
+    kernel: same rows, same math, only the fetch transport differs."""
+    from raytpu.kernels.strand_persistent import strand_query_persistent
+
+    p0, e1, e2 = _scene(600, seed=11)
+    bvh, _ = build_bvh(p0, e1, e2)
+    tree = build_strand_tree(bvh)
+    ro, rd = _rays(4096, seed=7)
+    ro, rd = _sort_octant(ro, rd)
+    leaf, *_ = _leaf_rows(p0, e1, e2, bvh)
+    tmax = np.full(4096, 3.40282347e38, np.float32)
+    tmax[::9] = -np.inf
+    if any_hit:
+        tmax = np.where(tmax > 0, 4.0, tmax).astype(np.float32)
+    args = (jnp.asarray(tree.rows), jnp.asarray(leaf),
+            *(jnp.asarray(ro[:, a]) for a in range(3)),
+            *(jnp.asarray(rd[:, a]) for a in range(3)),
+            jnp.asarray(tmax))
+    tmin = 0.0 if any_hit else 0.001
+    t_ref, tri_ref = strand_query(
+        *args, tmin=tmin, any_hit=any_hit, interpret=True
+    )
+    leaf128 = jnp.pad(
+        jnp.asarray(leaf), ((0, 0), (0, 128 - leaf.shape[1]))
+    )
+    t_p, tri_p = strand_query_persistent(
+        args[0], leaf128, *args[2:], tmin=tmin, any_hit=any_hit,
+        interpret=True, walkers=walkers, service_k=service_k, pipe=True,
+        unroll=unroll, ctl_every=ctl_every, flush_pop=flush_pop,
+        tree_any=True,
+    )
+    if any_hit:
+        # any-hit contract is the blocked BIT (benchmarks/strand_ab.py
+        # --check rationale: committed slots are schedule-dependent)
+        np.testing.assert_array_equal(
+            np.asarray(tri_p) >= 0, np.asarray(tri_ref) >= 0
+        )
+    else:
+        np.testing.assert_array_equal(
+            np.asarray(tri_p), np.asarray(tri_ref)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(t_p), np.asarray(t_ref)
+        )
+
+
+@pytest.mark.parametrize(
     "ribbon_k,walkers,service_k,pipe",
     [
         (1, 8, 2, False),   # degenerate K: one sub-step per fetch
