@@ -49,9 +49,10 @@ def _cached_atrium(target_tris: int):
     import pickle
 
     os.makedirs(CACHE, exist_ok=True)
-    schema = 9  # bump when ScenePack layout or the scene changes
-    # (v9: BvhPack.ribbon_rows; v8: tri_p0/e1/e2 became tri_row views +
-    # stream-scene table gating; v7: BvhPack.strand_rows)
+    schema = 10  # bump when ScenePack layout or the scene changes
+    # (v10: stream packs keep strand_rows + leaf_tris for the HBM strand
+    # route; v9: BvhPack.ribbon_rows; v8: tri_p0/e1/e2 became tri_row
+    # views + stream-scene table gating; v7: BvhPack.strand_rows)
     key = os.path.join(CACHE, f"atrium_{target_tris}_v{schema}.pkl")
     from benchmarks.scenes import build_atrium
 
@@ -419,8 +420,19 @@ def main():
         tris6 = 2_900_000
         scene6, pack6 = _cached_atrium(tris6)
         assert pack6.bvh.node8_rows is None, "stream pack kept resident tables"
+        assert pack6.bvh.strand_rows is not None, (
+            "stream pack lost the HBM strand tree"
+        )
         cfg6 = raytpu.RenderConfig(width=640, height=360, seed=1,
-                                   samples=1, bounces=4, chunk_size=8)
+                                   samples=1, bounces=4, chunk_size=8,
+                                   # A/B: the old binned treelet route
+                                   # vs the default HBM strand route
+                                   intersector=(
+                                       "binned"
+                                       if os.environ.get(
+                                           "RAYTPU_STREAM_BINNED")
+                                       else "auto"
+                                   ))
         secondary["stream"], _ = bench_config(
             f"stream({tris6}) 640x360", pack6,
             pack_camera(scene6.camera), cfg6, repeats=2)

@@ -61,6 +61,11 @@ def main():
                          "body iterations (power of two)")
     ap.add_argument("--flush-pop", type=int, default=1,
                     help="pop up to P queue heads per walker per flush")
+    ap.add_argument("--hbm", action="store_true",
+                    help="tree_any: node/leaf tables in HBM, rows "
+                         "fetched via overlapped async copies (the "
+                         "beyond-VMEM route, measured on the resident "
+                         "scene so the numbers are comparable)")
     ap.add_argument("--ribbon", type=int, default=0, metavar="K",
                     help="ribbon layout with K sub-steps per fetched "
                          "16-node row (0 = strand layout)")
@@ -88,6 +93,12 @@ def main():
     _, pack = bench._cached_atrium(args.tris)
     tree = pack.bvh.strand_rows
     leaves = pack.bvh.leaf_tris
+    if args.hbm:
+        assert not args.ribbon, "tree_any walks the strand layout only"
+        leaves_p = jnp.pad(
+            jnp.asarray(leaves),
+            ((0, 0), (0, 128 - leaves.shape[1])),
+        )
     ribbon_rpo = 0
     if args.ribbon:
         assert pack.bvh.ribbon_rows is not None, "pack has no ribbon rows"
@@ -123,7 +134,9 @@ def main():
 
         def persist_q(tm):
             return strand_query_persistent(
-                ptree, leaves, ro[:, 0], ro[:, 1], ro[:, 2],
+                ptree if not args.hbm else tree,
+                leaves if not args.hbm else leaves_p,
+                ro[:, 0], ro[:, 1], ro[:, 2],
                 rd[:, 0], rd[:, 1], rd[:, 2], tm,
                 tmin=tmin, any_hit=any_hit,
                 walkers=args.walkers, service_k=args.service_k,
@@ -134,6 +147,7 @@ def main():
                 unroll=args.unroll,
                 ctl_every=args.ctl_every,
                 flush_pop=args.flush_pop,
+                tree_any=args.hbm,
             )
 
         def block_q(tm):
@@ -145,7 +159,9 @@ def main():
 
         if args.stats:
             t_s, tri_s, st = strand_query_persistent(
-                ptree, leaves, ro[:, 0], ro[:, 1], ro[:, 2],
+                ptree if not args.hbm else tree,
+                leaves if not args.hbm else leaves_p,
+                ro[:, 0], ro[:, 1], ro[:, 2],
                 rd[:, 0], rd[:, 1], rd[:, 2], tmax,
                 tmin=tmin, any_hit=any_hit,
                 walkers=args.walkers, service_k=args.service_k,
@@ -156,6 +172,7 @@ def main():
                 unroll=args.unroll,
                 ctl_every=args.ctl_every,
                 flush_pop=args.flush_pop,
+                tree_any=args.hbm,
                 stats=True,
             )
             st = np.asarray(st)
