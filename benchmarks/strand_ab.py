@@ -61,6 +61,10 @@ def main():
                          "body iterations (power of two)")
     ap.add_argument("--flush-pop", type=int, default=1,
                     help="pop up to P queue heads per walker per flush")
+    ap.add_argument("--dual", action="store_true",
+                    help="dual interleave: two walker half-pools "
+                         "alternate so each half's scalar fetch overlaps "
+                         "the other half's vector advance")
     ap.add_argument("--hbm", action="store_true",
                     help="tree_any: node/leaf tables in HBM, rows "
                          "fetched via overlapped async copies (the "
@@ -148,6 +152,7 @@ def main():
                 ctl_every=args.ctl_every,
                 flush_pop=args.flush_pop,
                 tree_any=args.hbm,
+                dual=args.dual,
             )
 
         def block_q(tm):
@@ -173,6 +178,7 @@ def main():
                 ctl_every=args.ctl_every,
                 flush_pop=args.flush_pop,
                 tree_any=args.hbm,
+                dual=args.dual,
                 stats=True,
             )
             st = np.asarray(st)

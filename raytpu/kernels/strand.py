@@ -532,6 +532,10 @@ def make_strand_intersectors(pack, tmin: float = 0.001,
     # QCAP), so any (unroll, ctl_every) combination is overflow-safe.
     ctl_every = int(os.environ.get("RAYTPU_STRAND_CTL", "1"))
     flush_pop = int(os.environ.get("RAYTPU_STRAND_POP", "1"))
+    # dual interleave (strand_persistent docstring): two walker
+    # half-pools alternate so each half's serialized scalar fetch
+    # overlaps the other half's vector advance
+    dual = os.environ.get("RAYTPU_STRAND_DUAL", "0") != "0" and pipe
     # ribbon layout: RAYTPU_RIBBON=K (sub-steps per fetched row, 1..8)
     # walks the per-octant pre-order renumbered tree — persistent kernel
     # only; 0 restores the octant-threaded strand layout
@@ -564,6 +568,7 @@ def make_strand_intersectors(pack, tmin: float = 0.001,
                 ctl_every=ctl_every,
                 flush_pop=flush_pop,
                 tree_any=tree_any,
+                dual=dual and not use_ribbon,
             )
         return strand_query(
             tree, leaves,
@@ -618,6 +623,7 @@ def make_strand_mixed_query(pack, interpret: bool = False):
         unroll = 1
     ctl_every = int(os.environ.get("RAYTPU_STRAND_CTL", "1"))
     flush_pop = int(os.environ.get("RAYTPU_STRAND_POP", "1"))
+    dual = os.environ.get("RAYTPU_STRAND_DUAL", "0") != "0" and pipe
     ribbon_k = int(os.environ.get("RAYTPU_RIBBON", "0"))
     use_ribbon = (
         ribbon_k > 0 and not tree_any
@@ -643,6 +649,7 @@ def make_strand_mixed_query(pack, interpret: bool = False):
             ctl_every=ctl_every,
             flush_pop=flush_pop,
             tree_any=tree_any,
+            dual=dual and not use_ribbon,
         )
 
     return query

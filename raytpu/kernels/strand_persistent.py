@@ -76,6 +76,7 @@ def _persistent_kernel(
     ctl_every: int,
     flush_pop: int,
     tree_any: bool,
+    dual: bool,
 ):
     if stats:
         stats_ref, *refs = refs
@@ -148,27 +149,33 @@ def _persistent_kernel(
     assert not tree_any or (pipe and not ribbon and not smem_cur), (
         "tree_any requires the pipelined strand (non-ribbon) layout"
     )
+    # dual: interleave two walker half-pools so each half's scalar node
+    # fetch overlaps the other half's vector advance (see the body)
+    assert not dual or (pipe and not ribbon and walkers % 2 == 0), (
+        "dual requires the pipelined strand layout and an even pool"
+    )
 
-    def stage_node_rows(row_of):
-        """snode_s[w] <- tree row ``row_of(w)`` for every walker. VMEM
-        trees copy rows directly; HBM trees (tree_any) start all W
-        async copies first, then wait (waits match starts 1:1 on the
-        shared semaphore, counted by shape)."""
+    def stage_node_rows(row_of, lo=0, hi=None):
+        """snode_s[w] <- tree row ``row_of(w)`` for walkers [lo, hi).
+        VMEM trees copy rows directly; HBM trees (tree_any) start all
+        the async copies first, then wait (waits match starts 1:1 on
+        the shared semaphore, counted by shape)."""
+        hi = W if hi is None else hi
         if tree_any:
-            for w in range(W):
+            for w in range(lo, hi):
                 pltpu.make_async_copy(
                     tree_ref.at[pl.ds(row_of(w), 1), :],
                     snode_s.at[pl.ds(w, 1), :],
                     sem_tree,
                 ).start()
-            for w in range(W):
+            for w in range(lo, hi):
                 pltpu.make_async_copy(
                     tree_ref.at[pl.ds(0, 1), :],
                     snode_s.at[pl.ds(w, 1), :],
                     sem_tree,
                 ).wait()
         else:
-            for w in range(W):
+            for w in range(lo, hi):
                 snode_s[w : w + 1, :] = tree_ref[pl.ds(row_of(w), 1), :]
     # mixed mode: rays8 row 7 carries a per-LANE any-hit flag (the
     # deferred-NEE shadow mask) — one launch serves bounce b's shadow
@@ -451,12 +458,19 @@ def _persistent_kernel(
         NEGX, NEGY, NEGZ = IDX < 0.0, IDY < 0.0, IDZ < 0.0
         ROX, ROY, ROZ = rox_s[...], roy_s[...], roz_s[...]
 
-        def advance(S_raw, cur, q, qn, roll_amt, part):
+        def advance(S_raw, cur, q, qn, roll_amt, part, sl=None):
             """One walk step on the fetched rows: octant/offset roll,
             slab test, link select, leaf enqueue. ``part`` masks walkers
             participating this sub-step (ribbon: in-fetched-row and
             queue-headroom); masked walkers keep cur/q/qn unchanged.
+            ``sl`` restricts the step to a walker-row slice (the dual
+            interleave); per-walker math is unchanged, so results stay
+            bit-identical to the full-width step.
             Identical op order to the original single-step body."""
+
+            def _g(x):
+                return x if sl is None else x[sl]
+
             S = S_raw
             for b in (3, 4, 5, 6):
                 S = jnp.where(
@@ -471,27 +485,33 @@ def _persistent_kernel(
                 # best_t never shrinks, so -inf kills further box hits);
                 # a walker whose lanes are all blocked-or-dead-or-
                 # shadow-done parks
-                LIMIT = jnp.where(AH & (best_tri >= 0), -jnp.inf, best_t)
+                LIMIT = jnp.where(
+                    _g(AH) & (_g(best_tri) >= 0), -jnp.inf, _g(best_t)
+                )
                 all_done = jnp.all(
-                    (AH & (best_tri >= 0)) | (TMAX < 0.0),
+                    (_g(AH) & (_g(best_tri) >= 0)) | (_g(TMAX) < 0.0),
                     axis=1, keepdims=True,
                 )
                 ACT = ACT & jnp.logical_not(all_done)
             elif any_hit:
-                LIMIT = jnp.where(best_tri >= 0, -jnp.inf, TMAX)
+                LIMIT = jnp.where(_g(best_tri) >= 0, -jnp.inf, _g(TMAX))
                 all_done = jnp.all(
-                    (best_tri >= 0) | (TMAX < 0.0), axis=1, keepdims=True
+                    (_g(best_tri) >= 0) | (_g(TMAX) < 0.0),
+                    axis=1, keepdims=True,
                 )
                 ACT = ACT & jnp.logical_not(all_done)
             else:
-                LIMIT = best_t
+                LIMIT = _g(best_t)
             # 2) slab test (per-walker box broadcast from (W,1) columns)
-            lox = (jnp.where(NEGX, S[:, 3:4], S[:, 0:1]) - ROX) * IDX
-            hix = (jnp.where(NEGX, S[:, 0:1], S[:, 3:4]) - ROX) * IDX
-            loy = (jnp.where(NEGY, S[:, 4:5], S[:, 1:2]) - ROY) * IDY
-            hiy = (jnp.where(NEGY, S[:, 1:2], S[:, 4:5]) - ROY) * IDY
-            loz = (jnp.where(NEGZ, S[:, 5:6], S[:, 2:3]) - ROZ) * IDZ
-            hiz = (jnp.where(NEGZ, S[:, 2:3], S[:, 5:6]) - ROZ) * IDZ
+            NX, NY, NZ = _g(NEGX), _g(NEGY), _g(NEGZ)
+            OX, OY, OZ = _g(ROX), _g(ROY), _g(ROZ)
+            IX, IY, IZ = _g(IDX), _g(IDY), _g(IDZ)
+            lox = (jnp.where(NX, S[:, 3:4], S[:, 0:1]) - OX) * IX
+            hix = (jnp.where(NX, S[:, 0:1], S[:, 3:4]) - OX) * IX
+            loy = (jnp.where(NY, S[:, 4:5], S[:, 1:2]) - OY) * IY
+            hiy = (jnp.where(NY, S[:, 1:2], S[:, 4:5]) - OY) * IY
+            loz = (jnp.where(NZ, S[:, 5:6], S[:, 2:3]) - OZ) * IZ
+            hiz = (jnp.where(NZ, S[:, 2:3], S[:, 5:6]) - OZ) * IZ
             near = jnp.maximum(
                 jnp.maximum(lox, loy), jnp.maximum(loz, slab_tmin)
             )
@@ -511,7 +531,7 @@ def _persistent_kernel(
             # 4) enqueue leaf visits (LIFO insert at lane 0)
             enq = pend >= 0
             q = jnp.where(enq, pltpu.roll(q, 1, 1), q)
-            q = jnp.where(enq & (LANE == 0), pend, q)
+            q = jnp.where(enq & (_g(LANE) == 0), pend, q)
             qn = qn + enq.astype(jnp.int32)
             return cur, q, qn
 
@@ -561,22 +581,63 @@ def _persistent_kernel(
             # drains it within a control round (ADVICE r4: the old
             # ungated path could overflow at unroll>1 because the flush
             # pops fewer per iteration than K sub-steps can push).
-            for _u in range(unroll):
-                if _u > 0:
-                    cur_s[...] = cur
-                    stage_node_rows(
-                        lambda w: jnp.maximum(cur_s[w, 0], 0) // 2
+            if dual:
+                # DUAL INTERLEAVE: the walker pool splits into two
+                # independent halves whose advances alternate, so each
+                # half's serialized scalar fetch (whose vector->scalar
+                # reads of just-written cur_s are the measured per-step
+                # floor — the r5 cadence knobs alone moved nothing,
+                # docs/PROFILE_r5.md) issues right after its own advance
+                # and overlaps the OTHER half's vector advance; the last
+                # fetch overlaps the control region like classic pipe.
+                # Walkers are independent, so per-walker math and commit
+                # order are unchanged: results stay bit-identical.
+                Hf = W // 2
+                s0, s1 = slice(0, Hf), slice(Hf, W)
+                cur0, cur1 = cur[s0], cur[s1]
+                q0, q1 = q[s0], q[s1]
+                qn0, qn1 = qn[s0], qn[s1]
+                OB0, OB1 = OB[s0], OB[s1]
+                row_of = lambda w: jnp.maximum(cur_s[w, 0], 0) // 2
+                for _u in range(unroll):
+                    amt0 = (jnp.maximum(cur0, 0) & 1) * 64 + OB0
+                    cur0, q0, qn0 = advance(
+                        snode_s[s0, :], cur0, q0, qn0, amt0,
+                        (cur0 >= 0) & (qn0 < QCAP), sl=s0,
                     )
-                amt = (jnp.maximum(cur, 0) & 1) * 64 + OB
-                cur, q, qn = advance(snode_s[...], cur, q, qn, amt,
-                                     (cur >= 0) & (qn < QCAP))
-            nxt = cur
-        cur_s[...] = cur
-        queue_s[...] = q
-        qn_s[...] = qn
+                    cur_s[s0, :] = cur0
+                    stage_node_rows(row_of, 0, Hf)
+                    amt1 = (jnp.maximum(cur1, 0) & 1) * 64 + OB1
+                    cur1, q1, qn1 = advance(
+                        snode_s[s1, :], cur1, q1, qn1, amt1,
+                        (cur1 >= 0) & (qn1 < QCAP), sl=s1,
+                    )
+                    cur_s[s1, :] = cur1
+                    stage_node_rows(row_of, Hf, W)
+                queue_s[s0, :] = q0
+                queue_s[s1, :] = q1
+                qn_s[s0, :] = qn0
+                qn_s[s1, :] = qn1
+                qn = qn_s[...]
+                nxt = cur_s[...]
+            else:
+                for _u in range(unroll):
+                    if _u > 0:
+                        cur_s[...] = cur
+                        stage_node_rows(
+                            lambda w: jnp.maximum(cur_s[w, 0], 0) // 2
+                        )
+                    amt = (jnp.maximum(cur, 0) & 1) * 64 + OB
+                    cur, q, qn = advance(snode_s[...], cur, q, qn, amt,
+                                         (cur >= 0) & (qn < QCAP))
+                nxt = cur
+        if not dual:
+            cur_s[...] = cur
+            queue_s[...] = q
+            qn_s[...] = qn
         if stats:
             ctr_smem[7] = ctr_smem[7] + (jnp.sum(qn) - qn0_sum)
-        if pipe:
+        if pipe and not dual:
             # pipelined fetch for the NEXT iteration: the 128 serialized
             # scalar reads + row copies issue here, BEFORE the flush /
             # service vector work, so the scalar unit's walk down cur_s
@@ -814,7 +875,7 @@ def _persistent_kernel(
                      "service_k", "flush_occ", "mixed", "shadow_tmin",
                      "smem_cur", "smem_pend", "pipe", "ribbon_rpo",
                      "ribbon_k", "stats", "unroll", "ctl_every",
-                     "flush_pop", "tree_any"),
+                     "flush_pop", "tree_any", "dual"),
 )
 def strand_query_persistent(
     tree_rows,
@@ -841,6 +902,7 @@ def strand_query_persistent(
     ctl_every: int = 1,
     flush_pop: int = 1,
     tree_any: bool = False,
+    dual: bool = False,
 ):
     """Trace R rays (coherence-sorted; consecutive 128 = one strand)
     with W persistent walkers refilling from an on-device strand queue.
@@ -916,6 +978,7 @@ def strand_query_persistent(
         ctl_every=ctl_every,
         flush_pop=flush_pop,
         tree_any=tree_any,
+        dual=dual,
         # generous step bound: every strand could walk every node twice
         # before this trips (a debugging backstop, not a scheduler limit)
         max_iters=max(1_000_000, n_strands * 64),

@@ -192,6 +192,45 @@ def test_persistent_strand_matches_strand(
 
 
 @pytest.mark.parametrize(
+    "walkers,service_k,unroll,ctl_every,flush_pop,dual",
+    [
+        (8, 2, 1, 1, 1, True),     # dual halves + many refills
+        (8, 2, 4, 4, 2, True),     # dual + unroll + cadence
+        (16, 4, 8, 2, 4, True),
+    ],
+)
+@pytest.mark.slow
+def test_persistent_dual_matches_strand(
+    walkers, service_k, unroll, ctl_every, flush_pop, dual
+):
+    """The dual interleave (two alternating walker half-pools) must be
+    bit-identical: walkers are independent, the halves only reorder
+    WITHIN one body iteration's sub-steps."""
+    from raytpu.kernels.strand_persistent import strand_query_persistent
+
+    p0, e1, e2 = _scene(600, seed=11)
+    bvh, _ = build_bvh(p0, e1, e2)
+    tree = build_strand_tree(bvh)
+    ro, rd = _rays(4096, seed=7)
+    ro, rd = _sort_octant(ro, rd)
+    leaf, *_ = _leaf_rows(p0, e1, e2, bvh)
+    tmax = np.full(4096, 3.40282347e38, np.float32)
+    tmax[::9] = -np.inf
+    args = (jnp.asarray(tree.rows), jnp.asarray(leaf),
+            *(jnp.asarray(ro[:, a]) for a in range(3)),
+            *(jnp.asarray(rd[:, a]) for a in range(3)),
+            jnp.asarray(tmax))
+    t_ref, tri_ref = strand_query(*args, tmin=0.001, interpret=True)
+    t_p, tri_p = strand_query_persistent(
+        *args, tmin=0.001, interpret=True, walkers=walkers,
+        service_k=service_k, pipe=True, unroll=unroll,
+        ctl_every=ctl_every, flush_pop=flush_pop, dual=dual,
+    )
+    np.testing.assert_array_equal(np.asarray(tri_p), np.asarray(tri_ref))
+    np.testing.assert_array_equal(np.asarray(t_p), np.asarray(t_ref))
+
+
+@pytest.mark.parametrize(
     "walkers,service_k,unroll,ctl_every,flush_pop,any_hit",
     [
         (8, 2, 1, 1, 1, False),    # many refills through DMA'd installs
