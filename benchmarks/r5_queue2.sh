@@ -28,16 +28,15 @@ arm() {
 set -x
 H="python benchmarks/headline_ab.py --repeats 3 --rays 9338000"
 
-# headline frame: r4 default control, then the queue-1 knob combos
+# headline frame: r4 default control, then the dual interleave (queue
+# 1b winner shapes; the cadence knobs measured flat — PROFILE_r5)
 arm $H
-RAYTPU_STRAND_CTL=4 RAYTPU_STRAND_POP=2 arm $H
-RAYTPU_STRAND_UNROLL=8 RAYTPU_STRAND_CTL=4 RAYTPU_STRAND_POP=4 arm $H
-RAYTPU_STRAND_UNROLL=16 RAYTPU_STRAND_CTL=8 RAYTPU_STRAND_POP=16 arm $H
+RAYTPU_STRAND_DUAL=1 arm $H
+RAYTPU_STRAND_DUAL=1 RAYTPU_STRAND_UNROLL=8 arm $H
 
 # deferred-NEE mixed routing on the current-best glue (item 4)
 RAYTPU_BOUNCE_BACKEND=mixed arm $H
-RAYTPU_BOUNCE_BACKEND=mixed RAYTPU_STRAND_UNROLL=8 RAYTPU_STRAND_CTL=4 \
-  RAYTPU_STRAND_POP=4 arm $H
+RAYTPU_BOUNCE_BACKEND=mixed RAYTPU_STRAND_DUAL=1 arm $H
 
 # small-wave unroll record (ADVICE r4: unroll 4 default was only
 # headline-measured): pbr + multi at unroll 1 vs 4
