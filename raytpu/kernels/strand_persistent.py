@@ -448,29 +448,38 @@ def _persistent_kernel(
                     ]
                 else:
                     snode_s[w : w + 1, :] = tree_ref[pl.ds(c // 2, 1), :]
-        cur = cur_s[...]
-        TMAX = tmax_s[...]
-        best_t = bt_s[...]
-        best_tri = btr_s[...]
-        if mixed:
-            AH = ah_s[...] > 0.0
-        IDX, IDY, IDZ = idx_s[...], idy_s[...], idz_s[...]
-        NEGX, NEGY, NEGZ = IDX < 0.0, IDY < 0.0, IDZ < 0.0
-        ROX, ROY, ROZ = rox_s[...], roy_s[...], roz_s[...]
+        def half_env(a, b):
+            """Per-walker loop-invariant walk inputs for rows [a, b),
+            read straight from the refs as (b-a, 128) values — the dual
+            halves must NOT slice full-width values mid-graph (Mosaic's
+            vector_extract_strided_slice cannot lower those shapes; a
+            ref read with a static sublane-aligned slice can)."""
+            e = {}
+            e["TMAX"] = tmax_s[a:b, :]
+            e["best_t"] = bt_s[a:b, :]
+            e["best_tri"] = btr_s[a:b, :]
+            if mixed:
+                e["AH"] = ah_s[a:b, :] > 0.0
+            ix, iy, iz = idx_s[a:b, :], idy_s[a:b, :], idz_s[a:b, :]
+            e["IDX"], e["IDY"], e["IDZ"] = ix, iy, iz
+            e["NEGX"], e["NEGY"], e["NEGZ"] = ix < 0.0, iy < 0.0, iz < 0.0
+            e["ROX"] = rox_s[a:b, :]
+            e["ROY"] = roy_s[a:b, :]
+            e["ROZ"] = roz_s[a:b, :]
+            e["LANE"] = lax.broadcasted_iota(jnp.int32, (b - a, 128), 1)
+            return e
 
-        def advance(S_raw, cur, q, qn, roll_amt, part, sl=None):
+        def advance(S_raw, cur, q, qn, roll_amt, part, env=None):
             """One walk step on the fetched rows: octant/offset roll,
             slab test, link select, leaf enqueue. ``part`` masks walkers
             participating this sub-step (ribbon: in-fetched-row and
             queue-headroom); masked walkers keep cur/q/qn unchanged.
-            ``sl`` restricts the step to a walker-row slice (the dual
-            interleave); per-walker math is unchanged, so results stay
-            bit-identical to the full-width step.
+            ``env`` supplies the per-walker loop-invariant inputs (the
+            dual halves pass half_env views); per-walker math is
+            unchanged, so results stay bit-identical to the full width.
             Identical op order to the original single-step body."""
-
-            def _g(x):
-                return x if sl is None else x[sl]
-
+            if env is None:
+                env = full_env
             S = S_raw
             for b in (3, 4, 5, 6):
                 S = jnp.where(
@@ -486,26 +495,30 @@ def _persistent_kernel(
                 # a walker whose lanes are all blocked-or-dead-or-
                 # shadow-done parks
                 LIMIT = jnp.where(
-                    _g(AH) & (_g(best_tri) >= 0), -jnp.inf, _g(best_t)
+                    env["AH"] & (env["best_tri"] >= 0), -jnp.inf,
+                    env["best_t"],
                 )
                 all_done = jnp.all(
-                    (_g(AH) & (_g(best_tri) >= 0)) | (_g(TMAX) < 0.0),
+                    (env["AH"] & (env["best_tri"] >= 0))
+                    | (env["TMAX"] < 0.0),
                     axis=1, keepdims=True,
                 )
                 ACT = ACT & jnp.logical_not(all_done)
             elif any_hit:
-                LIMIT = jnp.where(_g(best_tri) >= 0, -jnp.inf, _g(TMAX))
+                LIMIT = jnp.where(
+                    env["best_tri"] >= 0, -jnp.inf, env["TMAX"]
+                )
                 all_done = jnp.all(
-                    (_g(best_tri) >= 0) | (_g(TMAX) < 0.0),
+                    (env["best_tri"] >= 0) | (env["TMAX"] < 0.0),
                     axis=1, keepdims=True,
                 )
                 ACT = ACT & jnp.logical_not(all_done)
             else:
-                LIMIT = _g(best_t)
+                LIMIT = env["best_t"]
             # 2) slab test (per-walker box broadcast from (W,1) columns)
-            NX, NY, NZ = _g(NEGX), _g(NEGY), _g(NEGZ)
-            OX, OY, OZ = _g(ROX), _g(ROY), _g(ROZ)
-            IX, IY, IZ = _g(IDX), _g(IDY), _g(IDZ)
+            NX, NY, NZ = env["NEGX"], env["NEGY"], env["NEGZ"]
+            OX, OY, OZ = env["ROX"], env["ROY"], env["ROZ"]
+            IX, IY, IZ = env["IDX"], env["IDY"], env["IDZ"]
             lox = (jnp.where(NX, S[:, 3:4], S[:, 0:1]) - OX) * IX
             hix = (jnp.where(NX, S[:, 0:1], S[:, 3:4]) - OX) * IX
             loy = (jnp.where(NY, S[:, 4:5], S[:, 1:2]) - OY) * IY
@@ -531,14 +544,20 @@ def _persistent_kernel(
             # 4) enqueue leaf visits (LIFO insert at lane 0)
             enq = pend >= 0
             q = jnp.where(enq, pltpu.roll(q, 1, 1), q)
-            q = jnp.where(enq & (_g(LANE) == 0), pend, q)
+            q = jnp.where(enq & (env["LANE"] == 0), pend, q)
             qn = qn + enq.astype(jnp.int32)
             return cur, q, qn
 
-        q = queue_s[...]
-        qn = qn_s[...]
+        # full-width loop-invariant reads only when a full-width advance
+        # will run (dual reads per-half views instead — dead full reads
+        # would cost real VMEM load cycles every iteration)
+        full_env = None if dual else half_env(0, W)
+        if not dual:
+            cur = cur_s[...]
+            q = queue_s[...]
+            qn = qn_s[...]
         if stats:
-            qn0_sum = jnp.sum(qn)
+            qn0_sum = jnp.sum(qn_s[...])
         if ribbon:
             # up to ribbon_k sub-steps on the one fetched row: the walk
             # participates while it stays inside the row (and its leaf
@@ -593,31 +612,39 @@ def _persistent_kernel(
                 # Walkers are independent, so per-walker math and commit
                 # order are unchanged: results stay bit-identical.
                 Hf = W // 2
-                s0, s1 = slice(0, Hf), slice(Hf, W)
-                cur0, cur1 = cur[s0], cur[s1]
-                q0, q1 = q[s0], q[s1]
-                qn0, qn1 = qn[s0], qn[s1]
-                OB0, OB1 = OB[s0], OB[s1]
+                env0, env1 = half_env(0, Hf), half_env(Hf, W)
+                cur0, cur1 = cur_s[0:Hf, :], cur_s[Hf:W, :]
+                q0, q1 = queue_s[0:Hf, :], queue_s[Hf:W, :]
+                qn0, qn1 = qn_s[0:Hf, :], qn_s[Hf:W, :]
+
+                def _ob(a, b):
+                    return (
+                        (rdx_s[a:b, 0:1] < 0.0).astype(jnp.int32)
+                        + 2 * (rdy_s[a:b, 0:1] < 0.0).astype(jnp.int32)
+                        + 4 * (rdz_s[a:b, 0:1] < 0.0).astype(jnp.int32)
+                    ) * 8
+
+                OB0, OB1 = _ob(0, Hf), _ob(Hf, W)
                 row_of = lambda w: jnp.maximum(cur_s[w, 0], 0) // 2
                 for _u in range(unroll):
                     amt0 = (jnp.maximum(cur0, 0) & 1) * 64 + OB0
                     cur0, q0, qn0 = advance(
-                        snode_s[s0, :], cur0, q0, qn0, amt0,
-                        (cur0 >= 0) & (qn0 < QCAP), sl=s0,
+                        snode_s[0:Hf, :], cur0, q0, qn0, amt0,
+                        (cur0 >= 0) & (qn0 < QCAP), env=env0,
                     )
-                    cur_s[s0, :] = cur0
+                    cur_s[0:Hf, :] = cur0
                     stage_node_rows(row_of, 0, Hf)
                     amt1 = (jnp.maximum(cur1, 0) & 1) * 64 + OB1
                     cur1, q1, qn1 = advance(
-                        snode_s[s1, :], cur1, q1, qn1, amt1,
-                        (cur1 >= 0) & (qn1 < QCAP), sl=s1,
+                        snode_s[Hf:W, :], cur1, q1, qn1, amt1,
+                        (cur1 >= 0) & (qn1 < QCAP), env=env1,
                     )
-                    cur_s[s1, :] = cur1
+                    cur_s[Hf:W, :] = cur1
                     stage_node_rows(row_of, Hf, W)
-                queue_s[s0, :] = q0
-                queue_s[s1, :] = q1
-                qn_s[s0, :] = qn0
-                qn_s[s1, :] = qn1
+                queue_s[0:Hf, :] = q0
+                queue_s[Hf:W, :] = q1
+                qn_s[0:Hf, :] = qn0
+                qn_s[Hf:W, :] = qn1
                 qn = qn_s[...]
                 nxt = cur_s[...]
             else:

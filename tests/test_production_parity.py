@@ -138,6 +138,7 @@ def _oracle_frame():
     )
 
 
+@pytest.mark.slow
 def test_production_route_matches_oracle():
     """Sorted waves -> persistent strand kernel vs the scalar WGSL-replay
     oracle: the BASELINE.json bar (SSIM >= 0.99) plus the branch-flip
@@ -152,6 +153,7 @@ def test_production_route_matches_oracle():
     assert psnr(quantize_rgba32f(frame), quantize_rgba32f(ref)) > 30.0
 
 
+@pytest.mark.slow
 def test_compact_mode_matches_oracle(monkeypatch):
     """The live-prefix compact pipeline through the same bar, and
     bit-equivalence (ulp-flip tolerance, tests/imgdiff.py) against the
