@@ -114,7 +114,10 @@ def test_binned_query_matches_bruteforce_interpret():
     assert (tri[h:][~live_s] == -1).all()
 
 
+@pytest.mark.slow
 def test_binned_engine_matches_threaded():
+    # fast-tier binned-engine coverage lives in
+    # test_stream_pack_drops_resident_tables_and_renders_binned
     import raytpu
     from benchmarks.scenes import build_atrium
     from raytpu.engine.render import render_frame

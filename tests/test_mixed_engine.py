@@ -142,10 +142,15 @@ def test_fused_wave_mode_matches_legacy(monkeypatch):
     assert_images_equiv(ref, fused)
 
 
-def test_small_scene_strand_routing_matches_legacy():
+def test_small_scene_strand_routing_matches_legacy(monkeypatch):
     """The round-3 threshold drop (4096 -> 256 slots, PROFILE_r3.md
     finding 3) put small BVH scenes on sorted strand bounces too; the
-    780-slot range must still match the plain XLA walk exactly."""
+    780-slot range must still match the plain XLA walk exactly.
+    A tiny walker pool keeps the interpret-mode persistent kernel fast
+    (this is the module's fast-tier representative) AND forces mid-wave
+    refills."""
+    monkeypatch.setenv("RAYTPU_STRAND_WALKERS", "8")
+    monkeypatch.setenv("RAYTPU_STRAND_SERVICE_K", "2")
     scene, pack = cached_atrium_pack(600)
     cam = pack_camera(scene.camera)
     assert 256 < pack.n_triangles <= 4096  # the newly-routed range
