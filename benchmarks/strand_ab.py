@@ -61,6 +61,10 @@ def main():
                          "body iterations (power of two)")
     ap.add_argument("--flush-pop", type=int, default=1,
                     help="pop up to P queue heads per walker per flush")
+    ap.add_argument("--fsmem", action="store_true",
+                    help="mid-body fetch indices via one cur_s->SMEM "
+                         "DMA per sub-step (replaces 128 serialized "
+                         "vector->scalar reads)")
     ap.add_argument("--dual", action="store_true",
                     help="dual interleave: two walker half-pools "
                          "alternate so each half's scalar fetch overlaps "
@@ -153,6 +157,7 @@ def main():
                 flush_pop=args.flush_pop,
                 tree_any=args.hbm,
                 dual=args.dual,
+                fetch_smem=args.fsmem,
             )
 
         def block_q(tm):
@@ -179,6 +184,7 @@ def main():
                 flush_pop=args.flush_pop,
                 tree_any=args.hbm,
                 dual=args.dual,
+                fetch_smem=args.fsmem,
                 stats=True,
             )
             st = np.asarray(st)

@@ -77,6 +77,7 @@ def _persistent_kernel(
     flush_pop: int,
     tree_any: bool,
     dual: bool,
+    fetch_smem: bool,
 ):
     if stats:
         stats_ref, *refs = refs
@@ -153,6 +154,13 @@ def _persistent_kernel(
     # fetch overlaps the other half's vector advance (see the body)
     assert not dual or (pipe and not ribbon and walkers % 2 == 0), (
         "dual requires the pipelined strand layout and an even pool"
+    )
+    # fetch_smem: mid-body fetch indices ride ONE cur_s -> cur_smem DMA
+    # per sub-step and the per-walker index reads hit SMEM (1-2 cycles)
+    # instead of paying a serialized vector->scalar VMEM transfer each
+    # (the measured per-sub-step floor; docs/PROFILE_r5.md queue 1b)
+    assert not fetch_smem or (pipe and not ribbon and not smem_cur), (
+        "fetch_smem requires the pipelined strand layout"
     )
 
     def stage_node_rows(row_of, lo=0, hi=None):
@@ -626,6 +634,7 @@ def _persistent_kernel(
 
                 OB0, OB1 = _ob(0, Hf), _ob(Hf, W)
                 row_of = lambda w: jnp.maximum(cur_s[w, 0], 0) // 2
+                row_of_smem = lambda w: jnp.maximum(cur_smem[w, 0], 0) // 2
                 for _u in range(unroll):
                     amt0 = (jnp.maximum(cur0, 0) & 1) * 64 + OB0
                     cur0, q0, qn0 = advance(
@@ -633,14 +642,39 @@ def _persistent_kernel(
                         (cur0 >= 0) & (qn0 < QCAP), env=env0,
                     )
                     cur_s[0:Hf, :] = cur0
-                    stage_node_rows(row_of, 0, Hf)
+                    if fetch_smem:
+                        # mirror half 0's indices while half 1 advances;
+                        # both waits precede both SMEM-read stages, so
+                        # either DMA's completion order is safe
+                        pltpu.make_async_copy(
+                            cur_s.at[pl.ds(0, Hf), :],
+                            cur_smem.at[pl.ds(0, Hf), :],
+                            sem_cur,
+                        ).start()
+                    else:
+                        stage_node_rows(row_of, 0, Hf)
                     amt1 = (jnp.maximum(cur1, 0) & 1) * 64 + OB1
                     cur1, q1, qn1 = advance(
                         snode_s[Hf:W, :], cur1, q1, qn1, amt1,
                         (cur1 >= 0) & (qn1 < QCAP), env=env1,
                     )
                     cur_s[Hf:W, :] = cur1
-                    stage_node_rows(row_of, Hf, W)
+                    if fetch_smem:
+                        pltpu.make_async_copy(
+                            cur_s.at[pl.ds(Hf, Hf), :],
+                            cur_smem.at[pl.ds(Hf, Hf), :],
+                            sem_cur,
+                        ).start()
+                        for _ in range(2):
+                            pltpu.make_async_copy(
+                                cur_s.at[pl.ds(0, Hf), :],
+                                cur_smem.at[pl.ds(0, Hf), :],
+                                sem_cur,
+                            ).wait()
+                        stage_node_rows(row_of_smem, 0, Hf)
+                        stage_node_rows(row_of_smem, Hf, W)
+                    else:
+                        stage_node_rows(row_of, Hf, W)
                 queue_s[0:Hf, :] = q0
                 queue_s[Hf:W, :] = q1
                 qn_s[0:Hf, :] = qn0
@@ -651,9 +685,24 @@ def _persistent_kernel(
                 for _u in range(unroll):
                     if _u > 0:
                         cur_s[...] = cur
-                        stage_node_rows(
-                            lambda w: jnp.maximum(cur_s[w, 0], 0) // 2
-                        )
+                        if fetch_smem:
+                            # one DMA + SMEM-speed index reads replace
+                            # 128 serialized vector->scalar transfers
+                            cp = pltpu.make_async_copy(
+                                cur_s, cur_smem, sem_cur
+                            )
+                            cp.start()
+                            cp.wait()
+                            stage_node_rows(
+                                lambda w: jnp.maximum(
+                                    cur_smem[w, 0], 0
+                                ) // 2
+                            )
+                        else:
+                            stage_node_rows(
+                                lambda w: jnp.maximum(cur_s[w, 0], 0)
+                                // 2
+                            )
                     amt = (jnp.maximum(cur, 0) & 1) * 64 + OB
                     cur, q, qn = advance(snode_s[...], cur, q, qn, amt,
                                          (cur >= 0) & (qn < QCAP))
@@ -902,7 +951,7 @@ def _persistent_kernel(
                      "service_k", "flush_occ", "mixed", "shadow_tmin",
                      "smem_cur", "smem_pend", "pipe", "ribbon_rpo",
                      "ribbon_k", "stats", "unroll", "ctl_every",
-                     "flush_pop", "tree_any", "dual"),
+                     "flush_pop", "tree_any", "dual", "fetch_smem"),
 )
 def strand_query_persistent(
     tree_rows,
@@ -930,6 +979,7 @@ def strand_query_persistent(
     flush_pop: int = 1,
     tree_any: bool = False,
     dual: bool = False,
+    fetch_smem: bool = False,
 ):
     """Trace R rays (coherence-sorted; consecutive 128 = one strand)
     with W persistent walkers refilling from an on-device strand queue.
@@ -1006,6 +1056,7 @@ def strand_query_persistent(
         flush_pop=flush_pop,
         tree_any=tree_any,
         dual=dual,
+        fetch_smem=fetch_smem,
         # generous step bound: every strand could walk every node twice
         # before this trips (a debugging backstop, not a scheduler limit)
         max_iters=max(1_000_000, n_strands * 64),

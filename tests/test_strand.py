@@ -192,20 +192,23 @@ def test_persistent_strand_matches_strand(
 
 
 @pytest.mark.parametrize(
-    "walkers,service_k,unroll,ctl_every,flush_pop,dual",
+    "walkers,service_k,unroll,ctl_every,flush_pop,dual,fsmem",
     [
-        (8, 2, 1, 1, 1, True),     # dual halves + many refills
-        (8, 2, 4, 4, 2, True),     # dual + unroll + cadence
-        (16, 4, 8, 2, 4, True),
+        (8, 2, 1, 1, 1, True, False),   # dual halves + many refills
+        (8, 2, 4, 4, 2, True, False),   # dual + unroll + cadence
+        (16, 4, 8, 2, 4, True, False),
+        (8, 2, 4, 1, 1, False, True),   # SMEM-mirrored mid-body fetch
+        (8, 2, 4, 2, 2, True, True),    # dual + SMEM mirror
     ],
 )
 @pytest.mark.slow
 def test_persistent_dual_matches_strand(
-    walkers, service_k, unroll, ctl_every, flush_pop, dual
+    walkers, service_k, unroll, ctl_every, flush_pop, dual, fsmem
 ):
-    """The dual interleave (two alternating walker half-pools) must be
-    bit-identical: walkers are independent, the halves only reorder
-    WITHIN one body iteration's sub-steps."""
+    """The dual interleave (two alternating walker half-pools) and the
+    SMEM-mirrored mid-body fetch must be bit-identical: walkers are
+    independent, the variants only change the fetch transport and the
+    ordering WITHIN one body iteration's sub-steps."""
     from raytpu.kernels.strand_persistent import strand_query_persistent
 
     p0, e1, e2 = _scene(600, seed=11)
@@ -225,6 +228,7 @@ def test_persistent_dual_matches_strand(
         *args, tmin=0.001, interpret=True, walkers=walkers,
         service_k=service_k, pipe=True, unroll=unroll,
         ctl_every=ctl_every, flush_pop=flush_pop, dual=dual,
+        fetch_smem=fsmem,
     )
     np.testing.assert_array_equal(np.asarray(tri_p), np.asarray(tri_ref))
     np.testing.assert_array_equal(np.asarray(t_p), np.asarray(t_ref))
