@@ -28,15 +28,12 @@ arm() {
 set -x
 H="python benchmarks/headline_ab.py --repeats 3 --rays 9338000"
 
-# headline frame: r4 default control, then the dual interleave (queue
-# 1b winner shapes; the cadence knobs measured flat — PROFILE_r5)
+# headline frame: r4-default control (the r5 clean frame number), an
+# earlier-drain flush sweep (cheap best-t-shrink lever), and the
+# deferred-NEE mixed routing re-A/B (VERDICT item 4)
 arm $H
-RAYTPU_STRAND_DUAL=1 arm $H
-RAYTPU_STRAND_DUAL=1 RAYTPU_STRAND_UNROLL=8 arm $H
-
-# deferred-NEE mixed routing on the current-best glue (item 4)
+RAYTPU_STRAND_FLUSH=0.5 arm $H
 RAYTPU_BOUNCE_BACKEND=mixed arm $H
-RAYTPU_BOUNCE_BACKEND=mixed RAYTPU_STRAND_DUAL=1 arm $H
 
 # small-wave unroll record (ADVICE r4: unroll 4 default was only
 # headline-measured): pbr + multi at unroll 1 vs 4
