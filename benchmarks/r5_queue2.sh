@@ -44,8 +44,5 @@ arm python benchmarks/headline_ab.py --scene multi --inner 8 --repeats 3
 RAYTPU_STRAND_UNROLL=1 arm python benchmarks/headline_ab.py \
   --scene multi --inner 8 --repeats 3
 
-# HBM strand on the resident scene: wave-level tree_any cost vs VMEM
-AB="python benchmarks/strand_ab.py --waves b1c b2c b2s b3c --repeats 3"
-arm $AB --pipe --unroll 4 --hbm
-arm python benchmarks/strand_ab.py --waves b1c b2s --repeats 2 \
-    --pipe --unroll 4 --hbm --check
+# (HBM strand wave-level arms measured in queue 1b: b1c 32.50 b2c 24.55
+# b2s 11.49 b3c 15.14 — 1.9x resident; --check green)
