@@ -506,7 +506,11 @@ def make_strand_intersectors(pack, tmin: float = 0.001,
     # changing the env after the factory has run has no effect)
     walkers_n = int(os.environ.get("RAYTPU_STRAND_WALKERS", "128"))
     service_k = int(os.environ.get("RAYTPU_STRAND_SERVICE_K", "16"))
-    flush_occ = float(os.environ.get("RAYTPU_STRAND_FLUSH", "0.75"))
+    # flush occupancy 0.5 (r5 frame A/B: 564.5 -> 539.4 ms headline at
+    # 0.5 vs the r3 default 0.75; 0.375 gives ground back — earlier
+    # drains shrink best-t sooner and the saved walk steps beat the
+    # extra MT passes, docs/PROFILE_r5.md queue 2/4)
+    flush_occ = float(os.environ.get("RAYTPU_STRAND_FLUSH", "0.5"))
     # pipelined node fetch: measured win on deep-tree captured waves
     # (b1c 18.6 -> 17.7 ms, b2c 14.4 -> 13.5, headline frame part of the
     # 675 ms best combo — docs/PROFILE_r4.md); unmeasured on tiny trees
@@ -611,7 +615,11 @@ def make_strand_mixed_query(pack, interpret: bool = False):
     )
     walkers = int(os.environ.get("RAYTPU_STRAND_WALKERS", "128"))
     service_k = int(os.environ.get("RAYTPU_STRAND_SERVICE_K", "16"))
-    flush_occ = float(os.environ.get("RAYTPU_STRAND_FLUSH", "0.75"))
+    # flush occupancy 0.5 (r5 frame A/B: 564.5 -> 539.4 ms headline at
+    # 0.5 vs the r3 default 0.75; 0.375 gives ground back — earlier
+    # drains shrink best-t sooner and the saved walk steps beat the
+    # extra MT passes, docs/PROFILE_r5.md queue 2/4)
+    flush_occ = float(os.environ.get("RAYTPU_STRAND_FLUSH", "0.5"))
     # bound at factory time like every other knob (ADVICE r3); same
     # size-gated default as make_strand_intersectors
     pipe = os.environ.get(
