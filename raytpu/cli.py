@@ -51,12 +51,21 @@ def _enable_compile_cache():
     """Persistent XLA compile cache for CLI runs: TPU compiles through
     the tunnel cost 30-120 s per config; repeat invocations with the
     same (size, samples, bounces, chunk) should pay it once. Same dir
-    contract as bench.py (RAYTPU_CACHE overrides)."""
+    contract as bench.py (RAYTPU_CACHE overrides).
+
+    TPU backends only: CPU compiles are fast enough not to need it, and
+    the config is process-global — a test that drives main() on the
+    forced-CPU backend would otherwise leave the cache on for every
+    later interpret-mode kernel in the process, and serializing those
+    executables can crash XLA's cache writer (observed segfault in
+    compilation_cache.put_executable_and_time on CPU, r5)."""
     import os
 
     try:
         import jax
 
+        if jax.default_backend() == "cpu":
+            return
         jax.config.update(
             "jax_compilation_cache_dir",
             os.environ.get(
