@@ -2,6 +2,8 @@
 the packet kernel on random scenes and ray sets (closest + any-hit), per
 the cross-engine determinism contract (lowest-slot ties)."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -249,49 +251,33 @@ def test_persistent_tree_any_matches_strand(
 ):
     """tree_any (HBM node/leaf tables fetched via async copies — the
     beyond-VMEM scene route) must be bit-identical to the VMEM block
-    kernel: same rows, same math, only the fetch transport differs."""
-    from raytpu.kernels.strand_persistent import strand_query_persistent
+    kernel: same rows, same math, only the fetch transport differs.
 
-    p0, e1, e2 = _scene(600, seed=11)
-    bvh, _ = build_bvh(p0, e1, e2)
-    tree = build_strand_tree(bvh)
-    ro, rd = _rays(4096, seed=7)
-    ro, rd = _sort_octant(ro, rd)
-    leaf, *_ = _leaf_rows(p0, e1, e2, bvh)
-    tmax = np.full(4096, 3.40282347e38, np.float32)
-    tmax[::9] = -np.inf
-    if any_hit:
-        tmax = np.where(tmax > 0, 4.0, tmax).astype(np.float32)
-    args = (jnp.asarray(tree.rows), jnp.asarray(leaf),
-            *(jnp.asarray(ro[:, a]) for a in range(3)),
-            *(jnp.asarray(rd[:, a]) for a in range(3)),
-            jnp.asarray(tmax))
-    tmin = 0.0 if any_hit else 0.001
-    t_ref, tri_ref = strand_query(
-        *args, tmin=tmin, any_hit=any_hit, interpret=True
+    Runs in a SUBPROCESS (tests/tools/tree_any_check.py): XLA:CPU's
+    compiler segfaults flakily on this interpret program when the
+    compile lands late in a long single-process suite (observed twice
+    at exactly this test in the full r5 run; clean in a fresh process).
+    Child isolation keeps a compiler crash from killing pytest, and a
+    crashed child (negative returncode) gets one retry."""
+    import subprocess
+    import sys
+
+    script = os.path.join(
+        os.path.dirname(__file__), "tools", "tree_any_check.py"
     )
-    leaf128 = jnp.pad(
-        jnp.asarray(leaf), ((0, 0), (0, 128 - leaf.shape[1]))
+    cmd = [sys.executable, script, str(walkers), str(service_k),
+           str(unroll), str(ctl_every), str(flush_pop),
+           str(int(any_hit))]
+    for attempt in (1, 2):
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=900)
+        if r.returncode == 0:
+            return
+        if r.returncode > 0:  # real mismatch/assert, not a crash
+            break
+    raise AssertionError(
+        f"tree_any check rc={r.returncode}\n{r.stdout}\n{r.stderr[-2000:]}"
     )
-    t_p, tri_p = strand_query_persistent(
-        args[0], leaf128, *args[2:], tmin=tmin, any_hit=any_hit,
-        interpret=True, walkers=walkers, service_k=service_k, pipe=True,
-        unroll=unroll, ctl_every=ctl_every, flush_pop=flush_pop,
-        tree_any=True,
-    )
-    if any_hit:
-        # any-hit contract is the blocked BIT (benchmarks/strand_ab.py
-        # --check rationale: committed slots are schedule-dependent)
-        np.testing.assert_array_equal(
-            np.asarray(tri_p) >= 0, np.asarray(tri_ref) >= 0
-        )
-    else:
-        np.testing.assert_array_equal(
-            np.asarray(tri_p), np.asarray(tri_ref)
-        )
-        np.testing.assert_array_equal(
-            np.asarray(t_p), np.asarray(t_ref)
-        )
 
 
 @pytest.mark.parametrize(
