@@ -12,6 +12,8 @@ from raytpu.accel.bvh import build_bvh
 from raytpu.accel.strandtree import build_strand_tree, validate_strand_tree
 from raytpu.kernels.strand import strand_query
 
+from .conftest import isolated
+
 
 def _scene(ntri, seed=0):
     rng = np.random.default_rng(seed)
@@ -159,6 +161,7 @@ def test_strand_any_hit_matches_brute():
     ],
 )
 @pytest.mark.slow
+@isolated
 def test_persistent_strand_matches_strand(
     walkers, service_k, pipe, smem_cur, smem_pend, unroll, ctl_every,
     flush_pop,
@@ -204,6 +207,7 @@ def test_persistent_strand_matches_strand(
     ],
 )
 @pytest.mark.slow
+@isolated
 def test_persistent_dual_matches_strand(
     walkers, service_k, unroll, ctl_every, flush_pop, dual, fsmem
 ):
@@ -290,6 +294,7 @@ def test_persistent_tree_any_matches_strand(
     ],
 )
 @pytest.mark.slow
+@isolated
 def test_persistent_ribbon_matches_strand(ribbon_k, walkers, service_k,
                                           pipe):
     """The ribbon layout (per-octant pre-order renumbering, K sub-steps
@@ -330,6 +335,7 @@ def test_persistent_ribbon_matches_strand(ribbon_k, walkers, service_k,
 
 
 @pytest.mark.slow
+@isolated
 def test_persistent_ribbon_any_hit_matches_strand():
     """Ribbon any-hit (shadow) blocking must match strand_query; the
     early-park path (all lanes blocked-or-dead) interacts with sub-step
@@ -365,6 +371,7 @@ def test_persistent_ribbon_any_hit_matches_strand():
 
 @pytest.mark.parametrize("pipe", [False, True])
 @pytest.mark.slow
+@isolated
 def test_persistent_strand_small_wave_and_any_hit(pipe):
     """Waves smaller than the walker pool park the surplus walkers at
     init; any-hit blocking must match strand_query bit-for-bit."""
