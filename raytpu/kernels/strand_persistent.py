@@ -328,8 +328,6 @@ def _persistent_kernel(
         ).wait()
         install(w)
 
-    LANE = lax.broadcasted_iota(jnp.int32, (W, 128), 1)
-
     def leaf_phase():
         """One batched Moller-Trumbore pass over every pending leaf row
         (identical op order to kernels/strand.py leaf_phase)."""
