@@ -409,13 +409,15 @@ def main():
     mrays, ms = bench_config(f"atrium({tris}) {w}x{h}", pack, campk, cfg5,
                              repeats=2)
 
-    # config 6 (stderr-only guardrail): the beyond-VMEM stream scene on
-    # the binned treelet route — the scaling story matching the
+    # config 6 (guardrail, embedded in the artifact JSON): the
+    # beyond-VMEM stream scene — the scaling story matching the
     # reference's "scales to whatever memory holds"
-    # (/root/reference/src/state.rs:1145-1246). The resident tables are
-    # dropped at pack time (tables='auto'), so this line rots loudly if
-    # the streamed path ever regresses. Skippable for fast local runs
-    # with RAYTPU_BENCH_NO_STREAM=1.
+    # (/root/reference/src/state.rs:1145-1246). Auto-routes to the HBM
+    # strand path (r5: 0.3 -> 3.5 Mrays/s vs the binned treelet route,
+    # which RAYTPU_STREAM_BINNED=1 restores for A/Bs). The packet
+    # kernel's resident tables are dropped at pack time (tables='auto'),
+    # so this line rots loudly if the streamed path ever regresses.
+    # Skippable for fast local runs with RAYTPU_BENCH_NO_STREAM=1.
     if not quick and not os.environ.get("RAYTPU_BENCH_NO_STREAM"):
         tris6 = 2_900_000
         scene6, pack6 = _cached_atrium(tris6)
